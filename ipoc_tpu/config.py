@@ -1,0 +1,64 @@
+"""Typed solver configuration.
+
+The reference hard-codes every solver knob as a literal constant scattered
+through the solver bodies (SURVEY §2.9: bp0=0.1 at par_interior_point_newton.py:233,
+decay 5 at par:238, stop 1e-4 at par:244, tol 1e-4 at par:201, reg clip
+[1e-16, 1e16] at par:173, caps 500/1000 at par:180/201, ...).  Here they are
+a single frozen dataclass, hashable so it can be a static argument to
+``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Knobs for the interior-point solvers.
+
+    Defaults replicate the reference semantics exactly (file:line cites are
+    into /root/reference/noc/).
+    """
+
+    # --- barrier schedule (par_interior_point_newton.py:233-248) ---
+    bp_init: float = 0.1
+    bp_decay: float = 5.0
+    bp_min: float = 1e-4
+
+    # --- convergence (par:199-202, seq:157-161, ddp:167-171) ---
+    tol: float = 1e-4
+
+    # --- Levenberg-Marquardt / trust-region (par:134-135, 166-173) ---
+    reg_init: float = 1.0
+    reg_inc_init: float = 2.0
+    reg_min: float = 1e-16
+    reg_max: float = 1e16
+
+    # --- iteration caps (par:180, 201; ddp:150, 169) ---
+    # The reference seq solver has NO outer cap (seq:157-161) — we always cap
+    # to keep solves bounded on hardware; max_newton_iters=1000 reproduces the
+    # par solver cap.
+    max_newton_iters: int = 1000
+    max_inner_iters: int = 500
+    max_ddp_iters: int = 500
+
+    # --- semantics switches ---
+    # Reference par/ddp scale the regularizer by ||cu|| (par:116-118,
+    # ddp:34-35); the seq solver adds it unscaled (seq:51).
+    scale_reg_by_grad: bool = True
+    # Reference quirk (par:74): the LQT terminal weight is set to Q[0]
+    # instead of hessian(final_cost)(xT).  "exact" fixes it (documented
+    # deliberate deviation, SURVEY §7 "Hard parts"); "reference" replicates.
+    terminal_hessian: str = "exact"
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SolverConfig()
+
+# Benchmark-friendly config: identical math, tighter iteration caps so a
+# non-converging lane cannot consume 1000 Newton iterations of wall clock.
+FAST_CONFIG = SolverConfig(max_newton_iters=200, max_inner_iters=60)

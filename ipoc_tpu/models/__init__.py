@@ -1,0 +1,1 @@
+from ipoc_tpu.models import cartpole, double_integrator, pendulum

@@ -1,0 +1,10 @@
+from ipoc_tpu.solvers.barrier import barrier_loop
+from ipoc_tpu.solvers.globalization import gain_ratio, lm_update
+from ipoc_tpu.solvers.ip_ddp import ddp_bwd_pass, interior_point_ddp
+from ipoc_tpu.solvers.ip_newton import (
+    par_interior_point_optimal_control,
+    par_newton_step,
+    seq_bwd_newton,
+    seq_fwd_newton,
+    seq_interior_point_optimal_control,
+)

@@ -1,0 +1,329 @@
+"""Interior-point Newton solvers: parallel-in-time and sequential.
+
+TPU-native re-implementations of the reference solvers with identical
+numerical semantics (reference: noc/par_interior_point_newton.py and
+noc/seq_interior_point_newton.py) but one shared derivative engine
+(ops/derivatives.py), one shared LM update (solvers/globalization.py), one
+shared barrier driver (solvers/barrier.py), and the in-repo LQT scan algebra
+(parallel/lqt.py) instead of the external ``paroc``.
+
+Structure of the flagship parallel solver (matching reference par:127-254):
+
+* outer ``lax.while_loop`` over barrier stages (bp: 0.1 -> /5 -> 1e-4)
+* per stage, ``lax.while_loop`` over Newton iterations; each iteration
+  computes cost, derivatives, parallel costates and Newton stage data once
+* inner ``lax.while_loop`` of trust-region retries: build the Newton LQT
+  with Levenberg regularization scaled by ||cu|| (par:116-118), run the
+  O(log T) parallel backward/forward passes, accept on positive gain ratio
+  and convex backward pass (par:164-166)
+
+Everything is jit-closed: one XLA program per solve.
+
+Deliberate deviations (documented, gated by SolverConfig):
+
+* ``jnp.linalg.eigh`` convexity checks -> Cholesky-success flags
+* explicit inverses -> Cholesky solves
+* the LQT terminal weight defaults to the exact ``hessian(final_cost)``
+  instead of the reference's ``Q[0]`` placeholder (par:74); set
+  ``terminal_hessian="reference"`` to replicate the quirk
+* the sequential solver gains an iteration cap (the reference has none,
+  seq:157-161, and can loop forever)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import hessian, lax
+
+from ipoc_tpu.config import DEFAULT_CONFIG, SolverConfig
+from ipoc_tpu.ops import linalg
+from ipoc_tpu.ops.derivatives import (
+    check_feasibility,
+    compute_derivatives,
+    compute_lqr_params,
+)
+from ipoc_tpu.parallel.costates import par_costates, seq_costates
+from ipoc_tpu.parallel.lqt import newton_lqt, par_bwd_pass, par_fwd_pass
+from ipoc_tpu.problem import OCP, Derivatives, LinearizedOCP
+from ipoc_tpu.solvers.barrier import barrier_loop
+from ipoc_tpu.solvers.globalization import gain_ratio, lm_update
+from ipoc_tpu.utils.integrators import rollout
+
+
+def _regularized(lin: LinearizedOCP, d: Derivatives, rp, scale_by_grad: bool):
+    """Levenberg regularization of the control Hessian block.
+
+    Reference par:116-118: ``R += rp * ||cu||_F * I`` (the seq solver adds
+    ``rp`` unscaled inside its backward pass instead, seq:51).
+    """
+    if scale_by_grad:
+        rp = rp * jnp.linalg.norm(d.cu)
+    nu = lin.R.shape[-1]
+    R = lin.R + rp * jnp.eye(nu, dtype=lin.R.dtype)
+    return LinearizedOCP(lin.r, lin.Q, R, lin.M)
+
+
+def par_newton_step(ocp: OCP, x, d: Derivatives, rp, lin: LinearizedOCP,
+                    cfg: SolverConfig):
+    """One regularized parallel Newton trial step (reference par:107-124).
+
+    Returns ``(dx, du, pred_reduction, feasible, Hu)``; the forward pass
+    starts from zero deviation, so (dx, du) are additive updates.
+    """
+    lin_reg = _regularized(lin, d, rp, cfg.scale_reg_by_grad)
+    if cfg.terminal_hessian == "reference":
+        XT = lin.Q[0]  # reference quirk, par:74
+    else:
+        XT = hessian(ocp.final_cost)(x[-1])
+    lqt = newton_lqt(lin_reg, d, XT)
+    Kx, kff, _, _, pred_reduction, feasible = par_bwd_pass(lqt)
+    du, dx = par_fwd_pass(lqt, jnp.zeros_like(x[0]), Kx, kff)
+    return dx, du, pred_reduction, feasible, lin.r
+
+
+def _newton_stage_par(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
+    """One barrier stage of the parallel Newton method (reference par:127-225)."""
+    dtype = controls.dtype
+    states = rollout(ocp.dynamics, controls, initial_state)
+    # Robustness guard (the reference has no such check and burns its whole
+    # 500x1000-iteration budget on NaN costs): an infeasible / non-finite
+    # warm start makes the barrier objective NaN and no step can ever be
+    # accepted — refuse to iterate, returning the inputs unchanged.
+    start_ok = jnp.isfinite(ocp.total_cost(states, controls, bp))
+    init_norm = jnp.where(start_ok, jnp.asarray(1.0, dtype),
+                          jnp.asarray(jnp.nan, dtype))
+
+    def newton_iter(val):
+        x, u, it, rp, r_inc, _ = val
+
+        cost = ocp.total_cost(x, u, bp)
+        d = compute_derivatives(ocp, x, u, bp)
+        costates = par_costates(ocp, x[-1], d)
+        lin = compute_lqr_params(costates, d)
+
+        def trial(inner):
+            _, _, _, _, rp, r_inc, k = inner
+            dx, du, pred, bwd_feasible, Hu = par_newton_step(
+                ocp, x, d, rp, lin, cfg
+            )
+            temp_x = x + dx
+            temp_u = u + du
+            Hu_norm = jnp.max(jnp.abs(Hu))
+            new_cost = jnp.where(
+                check_feasibility(ocp, temp_x, temp_u),
+                ocp.total_cost(temp_x, temp_u, bp),
+                jnp.inf,
+            )
+            rho = gain_ratio(new_cost, cost, pred)
+            success = jnp.logical_and(rho > 0.0, bwd_feasible)
+            rp, r_inc = lm_update(rp, r_inc, rho, success, cfg)
+            return temp_x, temp_u, success, Hu_norm, rp, r_inc, k + 1
+
+        def trial_cond(inner):
+            _, _, success, Hu_norm, _, _, k = inner
+            stop = jnp.logical_or(success, k > cfg.max_inner_iters)
+            # Robustness guard (deviation from the reference, which spins
+            # through its full 500x1000 iteration budget on NaN costs, e.g.
+            # for an infeasible warm start): a non-finite gradient norm can
+            # never recover, so bail out of the retry loop immediately.
+            stop = jnp.logical_or(
+                stop,
+                jnp.logical_and(k > 0, jnp.logical_not(jnp.isfinite(Hu_norm))),
+            )
+            return jnp.logical_not(stop)
+
+        # NOTE: like the reference (par:175,184-188), the trial state is
+        # adopted unconditionally on inner-loop exit — including the
+        # cap-exhausted path.
+        new_x, new_u, _, Hu_norm, rp, r_inc, _ = lax.while_loop(
+            trial_cond,
+            trial,
+            (x, u, jnp.bool_(False), jnp.asarray(0.0, dtype), rp, r_inc,
+             jnp.asarray(0, jnp.int32)),
+        )
+        # Adopt the trial unconditionally like the reference, except when it
+        # is non-finite (NaN trajectories would otherwise leak to the user).
+        trial_ok = jnp.isfinite(jnp.sum(new_u)) & jnp.isfinite(jnp.sum(new_x))
+        x = jnp.where(trial_ok, new_x, x)
+        u = jnp.where(trial_ok, new_u, u)
+        return x, u, it + 1, rp, r_inc, Hu_norm
+
+    def newton_cond(val):
+        _, _, it, _, _, Hu_norm = val
+        done = jnp.logical_or(Hu_norm < cfg.tol, it > cfg.max_newton_iters)
+        # Non-finite gradient norm -> unrecoverable; stop (robustness guard).
+        done = jnp.logical_or(done, jnp.logical_not(jnp.isfinite(Hu_norm)))
+        return jnp.logical_not(done)
+
+    x, u, iters, _, _, _ = lax.while_loop(
+        newton_cond,
+        newton_iter,
+        (
+            states,
+            controls,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(cfg.reg_init, dtype),
+            jnp.asarray(cfg.reg_inc_init, dtype),
+            init_norm,
+        ),
+    )
+    return x, u, iters
+
+
+def par_interior_point_optimal_control(
+    ocp: OCP, controls, initial_state, cfg: SolverConfig = DEFAULT_CONFIG
+):
+    """Parallel-in-time interior-point Newton solve — the flagship entry point.
+
+    Same signature and return convention as the reference
+    (par_interior_point_newton.py:228-254): returns
+    ``(optimal_controls, total_newton_iterations)``.
+    """
+
+    def stage(u, bp):
+        _, u, iters = _newton_stage_par(ocp, u, initial_state, bp, cfg)
+        return u, iters
+
+    return barrier_loop(stage, controls, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Sequential Newton solver (validation spine)
+# ---------------------------------------------------------------------------
+
+
+def seq_bwd_newton(final_cost, xN, lin: LinearizedOCP, d: Derivatives, rp):
+    """Sequential Riccati backward pass on Newton stage data.
+
+    Reference seq_interior_point_newton.py:42-75, with Cholesky solves in
+    place of explicit inverses and a Cholesky-success convexity flag in place
+    of ``eigh``.  Terminal condition: ``Vxx = hessian(final_cost)(xN)``,
+    ``Vx = 0`` — the costates carry the gradient part (seq:66-67).
+    """
+
+    def step(carry, inp):
+        Vxx, Vx = carry
+        r, Q, R, M, fx, fu = inp
+        fxT, fuT = fx.T, fu.T
+
+        Qxx = Q + fxT @ Vxx @ fx
+        Quu = R + fuT @ Vxx @ fu + rp * jnp.eye(R.shape[0], dtype=R.dtype)
+        Qxu = M + fxT @ Vxx @ fu
+        Qu = r + fuT @ Vx
+        Qx = fxT @ Vx
+
+        convex = linalg.is_posdef(Quu)
+        # One factorization for both gains: Quu [k | K] = -[Qu | Qxu^T].
+        sol = linalg.cholesky_solve(
+            Quu, jnp.concatenate([Qu[:, None], Qxu.T], axis=1)
+        )
+        k = -sol[:, 0]
+        K = -sol[:, 1:]
+
+        Vx_new = Qx + Qxu @ k
+        Vxx_new = linalg.sym(Qxx + Qxu @ K)
+        dV = k @ Qu + 0.5 * k @ (Quu @ k)
+        return (Vxx_new, Vx_new), (K, k, dV, convex)
+
+    VxxN = hessian(final_cost)(xN)
+    VxN = jnp.zeros_like(xN)
+    _, (K, k, dV, convex) = lax.scan(
+        step, (VxxN, VxN), (lin.r, lin.Q, lin.R, lin.M, d.fx, d.fu),
+        reverse=True,
+    )
+    return K, k, jnp.sum(dV), jnp.all(convex)
+
+
+def seq_fwd_newton(K, k, d: Derivatives):
+    """Linear deviation rollout (reference seq:78-90): ``dx0 = 0``,
+    ``dx+ = (fx + fu K) dx + fu k``, ``du = K dx + k``."""
+    dx0 = jnp.zeros((K.shape[-1],), dtype=K.dtype)
+
+    def step(dx, inp):
+        K_t, k_t, fx, fu = inp
+        dx_next = (fx + fu @ K_t) @ dx + fu @ k_t
+        return dx_next, dx_next
+
+    _, dxs = lax.scan(step, dx0, (K, k, d.fx, d.fu))
+    dx = jnp.concatenate([dx0[None], dxs], axis=0)
+    du = jnp.einsum("tij,tj->ti", K, dx[:-1]) + k
+    return du, dx
+
+
+def _newton_stage_seq(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
+    """One barrier stage of the sequential Newton method (reference seq:108-177):
+    a single while loop with one trial step per iteration and explicit
+    accept/reject via ``jnp.where``."""
+    dtype = controls.dtype
+    states = rollout(ocp.dynamics, controls, initial_state)
+    # Infeasible / non-finite warm start: refuse to iterate (see par stage).
+    start_ok = jnp.isfinite(ocp.total_cost(states, controls, bp))
+    init_norm = jnp.where(start_ok, jnp.asarray(1.0, dtype),
+                          jnp.asarray(jnp.nan, dtype))
+
+    def body(val):
+        x, u, t, mu, nu_, _, _ = val
+        cost = ocp.total_cost(x, u, bp)
+
+        d = compute_derivatives(ocp, x, u, bp)
+        costates = seq_costates(ocp, x[-1], d)
+        lin = compute_lqr_params(costates, d)
+        K, k, pred, bp_feasible = seq_bwd_newton(
+            ocp.final_cost, x[-1], lin, d, mu
+        )
+        du, dx = seq_fwd_newton(K, k, d)
+        Hu_norm = jnp.max(jnp.abs(lin.r))
+
+        temp_x = x + dx
+        temp_u = u + du
+        new_cost = jnp.where(
+            check_feasibility(ocp, temp_x, temp_u),
+            ocp.total_cost(temp_x, temp_u, bp),
+            jnp.inf,
+        )
+        rho = gain_ratio(new_cost, cost, pred)
+        accept = jnp.logical_and(rho > 0, bp_feasible)
+        mu, nu_ = lm_update(mu, nu_, rho, accept, cfg)
+        x = jnp.where(accept, temp_x, x)
+        u = jnp.where(accept, temp_u, u)
+        return x, u, t + 1, mu, nu_, Hu_norm, bp_feasible
+
+    def cond(val):
+        _, _, t, _, _, Hu_norm, bp_feasible = val
+        converged = jnp.logical_and(Hu_norm < cfg.tol, bp_feasible)
+        # The reference seq solver has no cap (seq:157-161); we bound it,
+        # and bail on non-finite gradients (robustness guard).
+        stop = jnp.logical_or(converged, t >= cfg.max_newton_iters)
+        stop = jnp.logical_or(stop, jnp.logical_not(jnp.isfinite(Hu_norm)))
+        return jnp.logical_not(stop)
+
+    x, u, iters, _, _, _, _ = lax.while_loop(
+        cond,
+        body,
+        (
+            states,
+            controls,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(cfg.reg_init, dtype),
+            jnp.asarray(cfg.reg_inc_init, dtype),
+            init_norm,
+            jnp.bool_(True),
+        ),
+    )
+    return x, u, iters
+
+
+def seq_interior_point_optimal_control(
+    ocp: OCP, controls, initial_state, cfg: SolverConfig = DEFAULT_CONFIG
+):
+    """Sequential interior-point Newton solve (validation path).
+
+    Reference entry point: seq_interior_point_newton.py:180-202.
+    """
+
+    def stage(u, bp):
+        _, u, iters = _newton_stage_seq(ocp, u, initial_state, bp, cfg)
+        return u, iters
+
+    return barrier_loop(stage, controls, cfg)
