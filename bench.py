@@ -1,0 +1,79 @@
+"""Benchmark driver: batched constrained-cartpole H=100 IP solves/s.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Protocol follows the reference harness (1 untimed warmup to exclude compile,
+then timed reps with ``block_until_ready``, median reported — reference
+examples/cartpole_runtime.py:115-174), adapted to the TPU throughput story:
+a vmapped batch of full interior-point solves per timed rep.
+
+Baseline: the reference repo publishes no numbers (BASELINE.md). The
+denominator used for ``vs_baseline`` is the BASELINE.json north-star target
+pro-rated to one chip: 1e4 solves/s on a v5p-16 (8 chips) => 1250 solves/s
+per chip.  vs_baseline > 1 beats the per-chip north star.
+
+Env knobs: IPOC_BENCH_BATCH (default 32), IPOC_BENCH_REPS (default 5),
+IPOC_BENCH_HORIZON (default 100).
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import ipoc_tpu
+from ipoc_tpu.models import cartpole
+from ipoc_tpu.solvers.batched import make_batch, solve_batch
+
+BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "32"))
+REPS = int(os.environ.get("IPOC_BENCH_REPS", "5"))
+HORIZON = int(os.environ.get("IPOC_BENCH_HORIZON", "100"))
+DT = 1.0 / HORIZON  # reference sweep keeps H * dt = 1 s
+NORTH_STAR_PER_CHIP = 1e4 / 8.0
+
+
+def main():
+    ocp = cartpole.make_ocp(DT)
+    x0 = cartpole.initial_state(jnp.float32)
+    u0, x0b = make_batch(
+        jax.random.PRNGKey(1), x0, BATCH, HORIZON, 1,
+        state_scale=0.01, control_scale=0.1, dtype=jnp.float32,
+    )
+    cfg = ipoc_tpu.FAST_CONFIG
+
+    step = jax.jit(lambda u, x: solve_batch(ocp, u, x, cfg))
+
+    # Warmup (compile) — excluded from timing, reference protocol.
+    sol = step(u0, x0b)
+    jax.block_until_ready(sol.controls)
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        sol = step(u0, x0b)
+        jax.block_until_ready(sol.controls)
+        times.append(time.perf_counter() - t0)
+
+    med = statistics.median(times)
+    solves_per_sec = BATCH / med
+    print(
+        json.dumps(
+            {
+                "metric": f"cartpole_h{HORIZON}_ip_solves_per_sec",
+                "value": round(solves_per_sec, 3),
+                "unit": "solves/s/chip",
+                "vs_baseline": round(solves_per_sec / NORTH_STAR_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -140,7 +140,9 @@ def value_combine(earlier: ValueElement, later: ValueElement) -> ValueElement:
 
 
 def _elements(lqt: LQT) -> ValueElement:
-    """Per-stage scan elements, plus the terminal element, stacked (T+1, ...).
+    """Per-stage scan elements, stacked (T, ...) — the terminal element is
+    produced separately by :func:`_terminal_element` so the stage-element
+    array shards cleanly along the time axis (see parallel/time_sharded.py).
 
     The cross term is eliminated by completing the square in the control
     (standard LQT-with-cross-terms reduction), yielding modified dynamics
@@ -167,17 +169,17 @@ def _elements(lqt: LQT) -> ValueElement:
     J = linalg.sym(Ht @ Xtil @ lqt.H)
     eta = jnp.einsum("...ij,...j->...i", Ht @ Xtil, lqt.r)
 
-    # Terminal element: pure state cost, no dynamics.
+    return ValueElement(A=Abar, b=cbar, C=C, eta=eta, J=J)
+
+
+def _terminal_element(lqt: LQT) -> ValueElement:
+    """Terminal element: pure state cost, no dynamics (unbatched)."""
+    nx = lqt.B.shape[-2]
     JT = linalg.sym(lqt.HT.T @ lqt.XT @ lqt.HT)
     etaT = lqt.HT.T @ lqt.XT @ lqt.rT
-
-    return ValueElement(
-        A=jnp.concatenate([Abar, jnp.zeros((1, nx, nx), Abar.dtype)], axis=0),
-        b=jnp.concatenate([cbar, jnp.zeros((1, nx), cbar.dtype)], axis=0),
-        C=jnp.concatenate([C, jnp.zeros((1, nx, nx), C.dtype)], axis=0),
-        eta=jnp.concatenate([eta, etaT[None]], axis=0),
-        J=jnp.concatenate([J, JT[None]], axis=0),
-    )
+    zero = jnp.zeros((nx, nx), JT.dtype)
+    return ValueElement(A=zero, b=jnp.zeros((nx,), JT.dtype), C=zero,
+                        eta=etaT, J=JT)
 
 
 def stage_gains(stage: LQTStage, S_next, v_next):
@@ -243,7 +245,12 @@ def par_bwd_pass(lqt: LQT):
     scanned = lax.associative_scan(
         lambda a, b: value_combine(b, a), elems, reverse=True, axis=0
     )
-    S, v = scanned.J, scanned.eta
+    # scanned[k] spans stages [k, T); fold the terminal cost in with one
+    # batched combine to obtain V_k for every k.
+    eT = _terminal_element(lqt)
+    full = value_combine(scanned, eT)
+    S = jnp.concatenate([full.J, eT.J[None]], axis=0)
+    v = jnp.concatenate([full.eta, eT.eta[None]], axis=0)
     K, d, _, _, dV, posdef = stage_gains(lqt_stages(lqt), S[1:], v[1:])
     U_ok = linalg.is_posdef(lqt.U)
     feasible = jnp.logical_and(jnp.all(posdef), U_ok)
