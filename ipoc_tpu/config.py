@@ -44,6 +44,14 @@ class SolverConfig:
     max_inner_iters: int = 500
     max_ddp_iters: int = 500
 
+    # Stall exit (deviation from the reference, default on): once a trial
+    # step at the maximum regularization reg_max has been rejected, no later
+    # trial in the stage can succeed (the reference then spins through its
+    # remaining 500x1000 iteration budget re-trying the same step, e.g.
+    # whenever tol is unattainable in float32).  Set False to replicate the
+    # reference's unbounded retrying exactly.
+    stall_exit: bool = True
+
     # --- semantics switches ---
     # Reference par/ddp scale the regularizer by ||cu|| (par:116-118,
     # ddp:34-35); the seq solver adds it unscaled (seq:51).

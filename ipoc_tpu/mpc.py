@@ -1,0 +1,75 @@
+"""Receding-horizon MPC drivers.
+
+First-class version of the reference's inlined MPC loop
+(examples/linear_mpc_parallel.py:67-81): at every simulation step re-solve
+the horizon subproblem and apply the first control.  The whole closed-loop
+simulation is one ``lax.scan`` — a single XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ipoc_tpu.parallel.lqt import (
+    LQT,
+    par_bwd_pass,
+    par_fwd_pass,
+    seq_bwd_pass,
+    seq_fwd_pass,
+)
+
+
+def lqt_mpc_loop(lqt: LQT, x0, n_steps: int, mode: str = "par",
+                 plant: Callable | None = None):
+    """Closed-loop MPC with a fixed LQT subproblem re-solved every step.
+
+    ``mode`` selects the parallel (associative-scan) or sequential LQT
+    passes (reference linear_mpc_parallel.py:67-76).  ``plant`` optionally
+    overrides the simulation dynamics (defaults to the LQT's stage-0 model).
+    Returns ``(states, controls)`` with shapes (n_steps, nx) / (n_steps, nu).
+    """
+    if mode == "par":
+        bwd = lambda: par_bwd_pass(lqt)[:2]
+        fwd = lambda x, K, d: par_fwd_pass(lqt, x, K, d)
+    elif mode == "seq":
+        bwd = lambda: seq_bwd_pass(lqt)[:2]
+        fwd = lambda x, K, d: seq_fwd_pass(lqt, x, K, d)
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+
+    if plant is None:
+        plant = lambda x, u: lqt.A[0] @ x + lqt.B[0] @ u + lqt.c[0]
+
+    def step(x, _):
+        K, d = bwd()
+        u_plan, x_plan = fwd(x, K, d)
+        u0 = u_plan[0]
+        x_next = plant(x, u0)
+        return x_next, (x_next, u0)
+
+    _, (xs, us) = lax.scan(step, x0, xs=None, length=n_steps)
+    return xs, us
+
+
+def nmpc_loop(solve: Callable, plant: Callable, x0, u_init, n_steps: int):
+    """Nonlinear MPC: ``solve(u_warm, x) -> u_plan`` re-solved each step with
+    warm starting (shift-free, matching the reference's warm-start-by-resolve
+    pattern); applies ``u_plan[0]`` through ``plant``.
+
+    ``solve`` is typically a partial of an interior-point solver.  Returns
+    ``(states, controls)``.
+    """
+
+    def step(carry, _):
+        x, u_warm = carry
+        u_plan = solve(u_warm, x)
+        u0 = u_plan[0]
+        x_next = plant(x, u0)
+        return (x_next, u_plan), (x_next, u0)
+
+    (_, _), (xs, us) = lax.scan(step, (x0, u_init), xs=None, length=n_steps)
+    return xs, us

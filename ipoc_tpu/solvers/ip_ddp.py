@@ -85,7 +85,7 @@ def _ddp_stage(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
         d = compute_derivatives(ocp, x, u, bp)
 
         def trial(inner):
-            _, _, _, _, rp, r_inc, k = inner
+            _, _, _, _, rp, r_inc, k, _ = inner
             ffgain, gain, pred, bwd_feasible, Qu = ddp_bwd_pass(
                 ocp.final_cost, x[-1], d, rp
             )
@@ -100,12 +100,16 @@ def _ddp_stage(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
             )
             rho = gain_ratio(new_cost, cost, pred)
             success = jnp.logical_and(rho > 0, bwd_feasible)
+            stalled = jnp.logical_and(
+                jnp.logical_not(success), rp >= cfg.reg_max
+            ) & bool(cfg.stall_exit)
             rp, r_inc = lm_update(rp, r_inc, rho, success, cfg)
-            return temp_x, temp_u, success, Hu_norm, rp, r_inc, k + 1
+            return temp_x, temp_u, success, Hu_norm, rp, r_inc, k + 1, stalled
 
         def trial_cond(inner):
-            _, _, success, Hu_norm, _, _, k = inner
+            _, _, success, Hu_norm, _, _, k, stalled = inner
             stop = jnp.logical_or(success, k > cfg.max_inner_iters)
+            stop = jnp.logical_or(stop, stalled)
             # Robustness guard: non-finite gradients never recover.
             stop = jnp.logical_or(
                 stop,
@@ -113,15 +117,20 @@ def _ddp_stage(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
             )
             return jnp.logical_not(stop)
 
-        new_x, new_u, _, Hu_norm, rp, r_inc, _ = lax.while_loop(
+        new_x, new_u, _, Hu_norm, rp, r_inc, _, stalled = lax.while_loop(
             trial_cond,
             trial,
             (x, u, jnp.bool_(False), jnp.asarray(0.0, dtype), rp, r_inc,
-             jnp.asarray(0, jnp.int32)),
+             jnp.asarray(0, jnp.int32), jnp.bool_(False)),
         )
-        trial_ok = jnp.isfinite(jnp.sum(new_u)) & jnp.isfinite(jnp.sum(new_x))
+        trial_ok = (
+            jnp.isfinite(jnp.sum(new_u))
+            & jnp.isfinite(jnp.sum(new_x))
+            & jnp.logical_not(stalled)
+        )
         x = jnp.where(trial_ok, new_x, x)
         u = jnp.where(trial_ok, new_u, u)
+        Hu_norm = jnp.where(stalled, jnp.asarray(jnp.nan, dtype), Hu_norm)
         return x, u, it + 1, rp, r_inc, Hu_norm
 
     def outer_cond(val):

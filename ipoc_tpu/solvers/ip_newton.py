@@ -103,7 +103,7 @@ def _newton_stage_par(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
         lin = compute_lqr_params(costates, d)
 
         def trial(inner):
-            _, _, _, _, rp, r_inc, k = inner
+            _, _, _, _, rp, r_inc, k, _ = inner
             dx, du, pred, bwd_feasible, Hu = par_newton_step(
                 ocp, x, d, rp, lin, cfg
             )
@@ -117,12 +117,18 @@ def _newton_stage_par(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
             )
             rho = gain_ratio(new_cost, cost, pred)
             success = jnp.logical_and(rho > 0.0, bwd_feasible)
+            # Stall: a rejected trial at maximum regularization — no later
+            # retry can do better (cfg.stall_exit).
+            stalled = jnp.logical_and(
+                jnp.logical_not(success), rp >= cfg.reg_max
+            ) & bool(cfg.stall_exit)
             rp, r_inc = lm_update(rp, r_inc, rho, success, cfg)
-            return temp_x, temp_u, success, Hu_norm, rp, r_inc, k + 1
+            return temp_x, temp_u, success, Hu_norm, rp, r_inc, k + 1, stalled
 
         def trial_cond(inner):
-            _, _, success, Hu_norm, _, _, k = inner
+            _, _, success, Hu_norm, _, _, k, stalled = inner
             stop = jnp.logical_or(success, k > cfg.max_inner_iters)
+            stop = jnp.logical_or(stop, stalled)
             # Robustness guard (deviation from the reference, which spins
             # through its full 500x1000 iteration budget on NaN costs, e.g.
             # for an infeasible warm start): a non-finite gradient norm can
@@ -134,19 +140,23 @@ def _newton_stage_par(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
             return jnp.logical_not(stop)
 
         # NOTE: like the reference (par:175,184-188), the trial state is
-        # adopted unconditionally on inner-loop exit — including the
-        # cap-exhausted path.
-        new_x, new_u, _, Hu_norm, rp, r_inc, _ = lax.while_loop(
+        # adopted unconditionally on inner-loop exit — except on the stall
+        # and non-finite paths (where the trial is known-bad).
+        new_x, new_u, _, Hu_norm, rp, r_inc, _, stalled = lax.while_loop(
             trial_cond,
             trial,
             (x, u, jnp.bool_(False), jnp.asarray(0.0, dtype), rp, r_inc,
-             jnp.asarray(0, jnp.int32)),
+             jnp.asarray(0, jnp.int32), jnp.bool_(False)),
         )
-        # Adopt the trial unconditionally like the reference, except when it
-        # is non-finite (NaN trajectories would otherwise leak to the user).
-        trial_ok = jnp.isfinite(jnp.sum(new_u)) & jnp.isfinite(jnp.sum(new_x))
+        trial_ok = (
+            jnp.isfinite(jnp.sum(new_u))
+            & jnp.isfinite(jnp.sum(new_x))
+            & jnp.logical_not(stalled)
+        )
         x = jnp.where(trial_ok, new_x, x)
         u = jnp.where(trial_ok, new_u, u)
+        # Signal the outer loop via a NaN gradient norm on stall.
+        Hu_norm = jnp.where(stalled, jnp.asarray(jnp.nan, dtype), Hu_norm)
         return x, u, it + 1, rp, r_inc, Hu_norm
 
     def newton_cond(val):
@@ -284,9 +294,15 @@ def _newton_stage_seq(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
         )
         rho = gain_ratio(new_cost, cost, pred)
         accept = jnp.logical_and(rho > 0, bp_feasible)
+        # Stall: rejected at maximum regularization (cfg.stall_exit) — signal
+        # the loop exit via a NaN gradient norm.
+        stalled = jnp.logical_and(
+            jnp.logical_not(accept), mu >= cfg.reg_max
+        ) & bool(cfg.stall_exit)
         mu, nu_ = lm_update(mu, nu_, rho, accept, cfg)
         x = jnp.where(accept, temp_x, x)
         u = jnp.where(accept, temp_u, u)
+        Hu_norm = jnp.where(stalled, jnp.asarray(jnp.nan, dtype), Hu_norm)
         return x, u, t + 1, mu, nu_, Hu_norm, bp_feasible
 
     def cond(val):
