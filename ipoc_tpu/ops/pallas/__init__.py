@@ -1,0 +1,32 @@
+"""Pallas TPU kernels and the dispatch gate.
+
+``use_pallas_scans`` decides whether the fused scan kernels replace the
+``lax.associative_scan`` paths: on by default on real TPU backends for f32
+elements with small state dimension; controllable globally via
+:func:`set_pallas_scans`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_MODE = "auto"  # "auto" | "on" | "off"
+
+
+def set_pallas_scans(mode: str) -> None:
+    """Force the fused Pallas scan kernels on/off ("auto" restores default)."""
+    global _MODE
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"mode must be auto/on/off, got {mode!r}")
+    _MODE = mode
+
+
+def use_pallas_scans(dtype, n: int) -> bool:
+    """Gate: fused kernels handle f32 elements with n <= 8 on TPU."""
+    if _MODE == "off":
+        return False
+    eligible = dtype == jnp.float32 and n <= 8
+    if _MODE == "on":
+        return eligible
+    return eligible and jax.default_backend() == "tpu"

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ipoc_tpu.ops import linalg
+from ipoc_tpu.ops.pallas import use_pallas_scans
 from ipoc_tpu.parallel.costates import affine_combine
 from ipoc_tpu.problem import Derivatives, LinearizedOCP
 
@@ -240,11 +241,18 @@ def par_bwd_pass(lqt: LQT):
     ``feasible`` is the all-stages convexity flag.
     """
     elems = _elements(lqt)
-    # In a reverse scan fn receives (later-combination, earlier-element);
-    # value_combine wants (earlier, later), hence the argument swap.
-    scanned = lax.associative_scan(
-        lambda a, b: value_combine(b, a), elems, reverse=True, axis=0
-    )
+    if use_pallas_scans(elems.A.dtype, elems.A.shape[-1]):
+        from ipoc_tpu.ops.pallas.scan_kernels import pallas_value_scan
+
+        scanned = ValueElement(
+            *pallas_value_scan(elems.A, elems.b, elems.C, elems.eta, elems.J)
+        )
+    else:
+        # In a reverse scan fn receives (later-combination, earlier-element);
+        # value_combine wants (earlier, later), hence the argument swap.
+        scanned = lax.associative_scan(
+            lambda a, b: value_combine(b, a), elems, reverse=True, axis=0
+        )
     # scanned[k] spans stages [k, T); fold the terminal cost in with one
     # batched combine to obtain V_k for every k.
     eT = _terminal_element(lqt)
@@ -309,10 +317,15 @@ def par_fwd_pass(lqt: LQT, x0, Kx, d):
     e0 = F[0] @ x0 + e[0]
     F = F.at[0].set(jnp.zeros_like(F[0]))
     e = e.at[0].set(e0)
-    # Prefix composition: combined = later(earlier(.)).
-    _, xs = lax.associative_scan(
-        lambda a, b: affine_combine(b, a), (F, e), axis=0
-    )
+    if use_pallas_scans(F.dtype, F.shape[-1]):
+        from ipoc_tpu.ops.pallas.scan_kernels import pallas_affine_scan
+
+        _, xs = pallas_affine_scan(F, e, reverse=False)
+    else:
+        # Prefix composition: combined = later(earlier(.)).
+        _, xs = lax.associative_scan(
+            lambda a, b: affine_combine(b, a), (F, e), axis=0
+        )
     x = jnp.concatenate([x0[None], xs], axis=0)
     u = d - jnp.einsum("tij,tj->ti", Kx, x[:-1])
     return u, x

@@ -1,0 +1,104 @@
+"""Checkpoint/resume for large batched solve campaigns.
+
+The reference has no checkpointing (SURVEY §5.4); solves are seconds-long
+and single-shot.  At pod scale (65k scenarios, BASELINE.json config 5) a
+campaign is minutes-to-hours, so completed work must survive restarts: the
+runner processes the scenario set in chunks and persists each finished
+chunk (controls + iteration counts + a JSON manifest).  A restarted run
+skips finished chunks.
+
+Storage is dependency-free ``.npz`` + manifest; swap `_save_chunk`/
+`_load_chunk` for an orbax CheckpointManager when running on multi-host
+filesystems.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ipoc_tpu.config import DEFAULT_CONFIG, SolverConfig
+from ipoc_tpu.problem import OCP
+from ipoc_tpu.solvers.batched import BatchSolution, solve_batch
+
+
+class CheckpointedBatchRunner:
+    """Chunked batched solves with restart-safe persistence."""
+
+    def __init__(self, directory: str, chunk_size: int = 256):
+        self.directory = directory
+        self.chunk_size = chunk_size
+        os.makedirs(directory, exist_ok=True)
+        self._manifest_path = os.path.join(directory, "manifest.json")
+
+    def _manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"chunks_done": []}
+
+    def _mark_done(self, idx: int):
+        m = self._manifest()
+        if idx not in m["chunks_done"]:
+            m["chunks_done"].append(idx)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path)  # atomic
+
+    def _chunk_path(self, idx: int) -> str:
+        return os.path.join(self.directory, f"chunk_{idx:06d}.npz")
+
+    def _save_chunk(self, idx: int, sol: BatchSolution):
+        tmp = self._chunk_path(idx) + ".tmp.npz"
+        np.savez(
+            tmp,
+            controls=np.asarray(sol.controls),
+            iterations=np.asarray(sol.iterations),
+        )
+        os.replace(tmp, self._chunk_path(idx))
+        self._mark_done(idx)
+
+    def _load_chunk(self, idx: int) -> BatchSolution:
+        data = np.load(self._chunk_path(idx))
+        return BatchSolution(
+            jnp.asarray(data["controls"]), jnp.asarray(data["iterations"])
+        )
+
+    def run(
+        self,
+        ocp: OCP,
+        controls,        # (N, T, nu)
+        initial_states,  # (N, nx)
+        cfg: SolverConfig = DEFAULT_CONFIG,
+        method: str = "par",
+        solve_fn=None,
+    ) -> BatchSolution:
+        """Solve all N scenarios, resuming from any prior partial run.
+
+        ``solve_fn(u_chunk, x_chunk) -> BatchSolution`` may override the
+        default vmapped solve (e.g. with a mesh-sharded one).
+        """
+        n = controls.shape[0]
+        if solve_fn is None:
+            solve_fn = lambda u, x: solve_batch(ocp, u, x, cfg, method)
+        done = set(self._manifest()["chunks_done"])
+        out = []
+        for idx, start in enumerate(range(0, n, self.chunk_size)):
+            end = min(start + self.chunk_size, n)
+            if idx in done:
+                out.append(self._load_chunk(idx))
+                continue
+            sol = solve_fn(controls[start:end], initial_states[start:end])
+            sol = BatchSolution(
+                jnp.asarray(sol.controls), jnp.asarray(sol.iterations)
+            )
+            self._save_chunk(idx, sol)
+            out.append(sol)
+        return BatchSolution(
+            jnp.concatenate([s.controls for s in out], axis=0),
+            jnp.concatenate([s.iterations for s in out], axis=0),
+        )
