@@ -119,17 +119,17 @@ def value_combine(earlier: ValueElement, later: ValueElement) -> ValueElement:
 
     # D = (I + C_i J_j)^{-1}; note (I + J_j C_i)^{-1} = D^T for symmetric C, J.
     LHS = I + Ci @ Jj
-    Dt_A = jnp.linalg.solve(LHS, Ai)
-    Dt_bCeta = jnp.linalg.solve(
+    Dt_A = linalg.solve(LHS, Ai)
+    Dt_bCeta = linalg.solve(
         LHS, (bi + jnp.einsum("...ij,...j->...i", Ci, etaj))[..., None]
     )[..., 0]
-    Dt_C = jnp.linalg.solve(LHS, Ci)
+    Dt_C = linalg.solve(LHS, Ci)
 
     LHS_T = I + Jj @ Ci
-    E_eta = jnp.linalg.solve(
+    E_eta = linalg.solve(
         LHS_T, (etaj - jnp.einsum("...ij,...j->...i", Jj, bi))[..., None]
     )[..., 0]
-    E_J = jnp.linalg.solve(LHS_T, Jj)
+    E_J = linalg.solve(LHS_T, Jj)
 
     AiT = jnp.swapaxes(Ai, -1, -2)
     A = Aj @ Dt_A
@@ -153,11 +153,16 @@ def _elements(lqt: LQT) -> ValueElement:
 
     # Z is invertible (identity in every reference use); Bbar = B Z^{-1}.
     Bbar = jnp.swapaxes(
-        jnp.linalg.solve(jnp.swapaxes(lqt.Z, -1, -2), jnp.swapaxes(lqt.B, -1, -2)),
+        linalg.solve(jnp.swapaxes(lqt.Z, -1, -2), jnp.swapaxes(lqt.B, -1, -2)),
         -1,
         -2,
     )
-    Uinv = jnp.linalg.solve(lqt.U, jnp.broadcast_to(jnp.eye(lqt.U.shape[-1], dtype=lqt.U.dtype), lqt.U.shape))
+    Uinv = linalg.solve(
+        lqt.U,
+        jnp.broadcast_to(
+            jnp.eye(lqt.U.shape[-1], dtype=lqt.U.dtype), lqt.U.shape
+        ),
+    )
     UinvMt = Uinv @ jnp.swapaxes(lqt.M, -1, -2)
 
     Abar = lqt.A - Bbar @ UinvMt @ lqt.H
@@ -213,7 +218,7 @@ def stage_gains(stage: LQTStage, S_next, v_next):
     qu = -mv(Zt @ U, s) - mv(Zt @ Mt, r) + mv(Bt, Sc_minus_v)
     qx = -mv(Ht @ X, r) - mv(Ht @ M, s) + mv(At, Sc_minus_v)
 
-    Quu_chol = jnp.linalg.cholesky(Quu)
+    Quu_chol = linalg.cholesky(Quu)
     posdef = jnp.all(jnp.isfinite(Quu_chol), axis=(-1, -2))
 
     # Solve Quu [d | K] = [-qu | Qxu^T] in one factorization.
@@ -365,9 +370,9 @@ def newton_lqt(
     nu = R.shape[1]
     dtype = Q.dtype
 
-    Qinv_M = jnp.linalg.solve(Q, M)
+    Qinv_M = linalg.solve(Q, M)
     Schur = R - jnp.swapaxes(M, -1, -2) @ Qinv_M
-    s = -jnp.linalg.solve(Schur, ru[..., None])[..., 0]
+    s = -linalg.solve(Schur, ru[..., None])[..., 0]
     r = -jnp.einsum("...ij,...j->...i", Qinv_M, s)
 
     eye_x = jnp.broadcast_to(jnp.eye(nx, dtype=dtype), (T, nx, nx))
