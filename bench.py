@@ -25,6 +25,15 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    """Force completion: on the remote-attached TPU platform used here,
+    ``block_until_ready`` returns before execution finishes; a host fetch is
+    the only reliable barrier."""
+    jax.block_until_ready(x)
+    return np.asarray(x)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -32,7 +41,7 @@ import ipoc_tpu
 from ipoc_tpu.models import cartpole
 from ipoc_tpu.solvers.batched import make_batch, solve_batch
 
-BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "128"))
 REPS = int(os.environ.get("IPOC_BENCH_REPS", "5"))
 HORIZON = int(os.environ.get("IPOC_BENCH_HORIZON", "100"))
 DT = 1.0 / HORIZON  # reference sweep keeps H * dt = 1 s
@@ -46,20 +55,24 @@ def main():
         jax.random.PRNGKey(1), x0, BATCH, HORIZON, 1,
         state_scale=0.01, control_scale=0.1, dtype=jnp.float32,
     )
-    cfg = ipoc_tpu.FAST_CONFIG
+    cfg = ipoc_tpu.BATCH_CONFIG
 
     step = jax.jit(lambda u, x: solve_batch(ocp, u, x, cfg))
 
     # Warmup (compile) — excluded from timing, reference protocol.
     sol = step(u0, x0b)
-    jax.block_until_ready(sol.controls)
+    _sync(sol.iterations)
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         sol = step(u0, x0b)
-        jax.block_until_ready(sol.controls)
+        _sync(sol.iterations)
         times.append(time.perf_counter() - t0)
+    if os.environ.get("IPOC_BENCH_DEBUG"):
+        print("times:", times, file=sys.stderr)
+        print("iters:", sol.iterations.min(), sol.iterations.max(),
+              file=sys.stderr)
 
     med = statistics.median(times)
     solves_per_sec = BATCH / med

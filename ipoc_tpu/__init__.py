@@ -5,7 +5,26 @@ A ground-up TPU-first framework with the capabilities of the reference
 ``paroc`` dependency, re-designed for JAX/XLA/Pallas on TPU device meshes.
 """
 
-from ipoc_tpu.config import DEFAULT_CONFIG, FAST_CONFIG, SolverConfig
+import os as _os
+
+import jax as _jax
+
+# TPU matmuls default to bf16 MXU passes for f32 inputs; for an
+# interior-point solver chasing ||grad||_inf < 1e-4 through chains of
+# thousands of small matrix products, that default is catastrophic
+# (measured: relative error ~1e1 in the T=1000 costate scan vs 4e-4 at full
+# f32).  The matrices here are tiny, so full-precision passes cost nothing.
+# Opt out with IPOC_MATMUL_PRECISION=default.
+_prec = _os.environ.get("IPOC_MATMUL_PRECISION", "highest")
+if _prec != "default":
+    _jax.config.update("jax_default_matmul_precision", _prec)
+
+from ipoc_tpu.config import (
+    BATCH_CONFIG,
+    DEFAULT_CONFIG,
+    FAST_CONFIG,
+    SolverConfig,
+)
 from ipoc_tpu.problem import (
     OCP,
     Derivatives,

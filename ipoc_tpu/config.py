@@ -52,6 +52,18 @@ class SolverConfig:
     # reference's unbounded retrying exactly.
     stall_exit: bool = True
 
+    # Globalization structure for the parallel solver:
+    #   "retry"  — reference semantics (par:184-188): an inner while_loop
+    #              retries the trial with growing regularization until
+    #              accepted.  Best single-solve convergence.
+    #   "single" — one trial per Newton iteration with explicit accept/
+    #              reject (the reference's own seq-solver structure,
+    #              seq:139-146).  Under vmap the retry loop runs in lockstep
+    #              across lanes (any lane retrying makes every lane pay a
+    #              full LQT solve), so this mode is markedly faster for
+    #              batched throughput.
+    globalization: str = "retry"
+
     # --- semantics switches ---
     # Reference par/ddp scale the regularizer by ||cu|| (par:116-118,
     # ddp:34-35); the seq solver adds it unscaled (seq:51).
@@ -70,3 +82,7 @@ DEFAULT_CONFIG = SolverConfig()
 # Benchmark-friendly config: identical math, tighter iteration caps so a
 # non-converging lane cannot consume 1000 Newton iterations of wall clock.
 FAST_CONFIG = SolverConfig(max_newton_iters=200, max_inner_iters=60)
+
+# Batched-throughput config: single-trial globalization (no lockstep retry
+# loop) on top of FAST_CONFIG.
+BATCH_CONFIG = FAST_CONFIG.replace(globalization="single")

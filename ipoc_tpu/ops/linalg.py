@@ -67,6 +67,33 @@ def _gauss_solve_small(A, B):
     return B
 
 
+def _gauss_solve_small_nopivot(A, B):
+    """Batched n<=SMALL_N solve, no pivoting: pure arithmetic, no gathers.
+
+    For diagonally-sound systems (regularized Newton blocks, ``I + C J``
+    with PSD factors) this avoids the expensive batched ``take_along_axis``
+    row swaps of the pivoted path — on TPU those gathers dominate the whole
+    solve.  Not safe for arbitrary matrices.
+    """
+    n = A.shape[-1]
+    for col in range(n):
+        pivot = A[..., col, col][..., None]
+        if col + 1 < n:
+            factor = A[..., col + 1 :, col] / pivot
+            A = A.at[..., col + 1 :, :].add(
+                -factor[..., None] * A[..., col : col + 1, :]
+            )
+            B = B.at[..., col + 1 :, :].add(
+                -factor[..., None] * B[..., col : col + 1, :]
+            )
+    for row in range(n - 1, -1, -1):
+        rhs = B[..., row, :]
+        for j in range(row + 1, n):
+            rhs = rhs - A[..., row, j][..., None] * B[..., j, :]
+        B = B.at[..., row, :].set(rhs / A[..., row, row][..., None])
+    return B
+
+
 def _cholesky_small(A):
     """Batched n<=SMALL_N lower Cholesky; NaN entries when not PD."""
     n = A.shape[-1]
@@ -153,20 +180,22 @@ def is_posdef(A):
     return jnp.all(jnp.isfinite(L))
 
 
-def solve(A, b):
+def solve(A, b, pivot: bool = True):
     """General (non-SPD) batched linear solve.
 
-    Unrolled partial-pivot elimination for small n (any dtype, any backend
-    — TPU f64 included); LU otherwise.  ``b`` is a single vector iff
-    ``b.ndim == 1``, otherwise a broadcastable matrix (jnp.linalg.solve
-    convention on JAX >= 0.5).
+    Unrolled elimination for small n (any dtype, any backend — TPU f64
+    included); LU otherwise.  ``b`` is a single vector iff ``b.ndim == 1``,
+    otherwise a broadcastable matrix (jnp.linalg.solve convention on
+    JAX >= 0.5).  ``pivot=False`` selects the gather-free elimination for
+    diagonally-sound systems (see :func:`_gauss_solve_small_nopivot`).
     """
     vec = b.ndim == 1
     if vec:
         b = b[:, None]
     if A.shape[-1] <= SMALL_N:
         A, b = _mutual_broadcast(A, b)
-        x = _gauss_solve_small(A, b)
+        fn = _gauss_solve_small if pivot else _gauss_solve_small_nopivot
+        x = fn(A, b)
     else:
         x = jnp.linalg.solve(A, b)
     if vec:

@@ -119,17 +119,19 @@ def value_combine(earlier: ValueElement, later: ValueElement) -> ValueElement:
 
     # D = (I + C_i J_j)^{-1}; note (I + J_j C_i)^{-1} = D^T for symmetric C, J.
     LHS = I + Ci @ Jj
-    Dt_A = linalg.solve(LHS, Ai)
+    Dt_A = linalg.solve(LHS, Ai, pivot=False)
     Dt_bCeta = linalg.solve(
-        LHS, (bi + jnp.einsum("...ij,...j->...i", Ci, etaj))[..., None]
+        LHS, (bi + jnp.einsum("...ij,...j->...i", Ci, etaj))[..., None],
+        pivot=False,
     )[..., 0]
-    Dt_C = linalg.solve(LHS, Ci)
+    Dt_C = linalg.solve(LHS, Ci, pivot=False)
 
     LHS_T = I + Jj @ Ci
     E_eta = linalg.solve(
-        LHS_T, (etaj - jnp.einsum("...ij,...j->...i", Jj, bi))[..., None]
+        LHS_T, (etaj - jnp.einsum("...ij,...j->...i", Jj, bi))[..., None],
+        pivot=False,
     )[..., 0]
-    E_J = linalg.solve(LHS_T, Jj)
+    E_J = linalg.solve(LHS_T, Jj, pivot=False)
 
     AiT = jnp.swapaxes(Ai, -1, -2)
     A = Aj @ Dt_A
@@ -153,7 +155,10 @@ def _elements(lqt: LQT) -> ValueElement:
 
     # Z is invertible (identity in every reference use); Bbar = B Z^{-1}.
     Bbar = jnp.swapaxes(
-        linalg.solve(jnp.swapaxes(lqt.Z, -1, -2), jnp.swapaxes(lqt.B, -1, -2)),
+        linalg.solve(
+            jnp.swapaxes(lqt.Z, -1, -2), jnp.swapaxes(lqt.B, -1, -2),
+            pivot=False,
+        ),
         -1,
         -2,
     )
@@ -162,6 +167,7 @@ def _elements(lqt: LQT) -> ValueElement:
         jnp.broadcast_to(
             jnp.eye(lqt.U.shape[-1], dtype=lqt.U.dtype), lqt.U.shape
         ),
+        pivot=False,
     )
     UinvMt = Uinv @ jnp.swapaxes(lqt.M, -1, -2)
 
@@ -370,9 +376,9 @@ def newton_lqt(
     nu = R.shape[1]
     dtype = Q.dtype
 
-    Qinv_M = linalg.solve(Q, M)
+    Qinv_M = linalg.solve(Q, M, pivot=False)
     Schur = R - jnp.swapaxes(M, -1, -2) @ Qinv_M
-    s = -linalg.solve(Schur, ru[..., None])[..., 0]
+    s = -linalg.solve(Schur, ru[..., None], pivot=False)[..., 0]
     r = -jnp.einsum("...ij,...j->...i", Qinv_M, s)
 
     eye_x = jnp.broadcast_to(jnp.eye(nx, dtype=dtype), (T, nx, nx))

@@ -181,6 +181,70 @@ def _newton_stage_par(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
     return x, u, iters
 
 
+def _newton_stage_par_single(ocp: OCP, controls, initial_state, bp,
+                             cfg: SolverConfig):
+    """One barrier stage, parallel evaluator, single-trial globalization.
+
+    Same Newton step as :func:`_newton_stage_par`, but one trial per
+    iteration with explicit accept/reject (the structure of the reference's
+    sequential solver, seq:108-177) — no inner retry loop, so vmapped lanes
+    never pay lockstep retries.
+    """
+    dtype = controls.dtype
+    states = rollout(ocp.dynamics, controls, initial_state)
+    start_ok = jnp.isfinite(ocp.total_cost(states, controls, bp))
+    init_norm = jnp.where(start_ok, jnp.asarray(1.0, dtype),
+                          jnp.asarray(jnp.nan, dtype))
+
+    def body(val):
+        x, u, t, rp, r_inc, _ = val
+        cost = ocp.total_cost(x, u, bp)
+        d = compute_derivatives(ocp, x, u, bp)
+        costates = par_costates(ocp, x[-1], d)
+        lin = compute_lqr_params(costates, d)
+        dx, du, pred, bwd_feasible, Hu = par_newton_step(
+            ocp, x, d, rp, lin, cfg
+        )
+        Hu_norm = jnp.max(jnp.abs(Hu))
+        temp_x = x + dx
+        temp_u = u + du
+        new_cost = jnp.where(
+            check_feasibility(ocp, temp_x, temp_u),
+            ocp.total_cost(temp_x, temp_u, bp),
+            jnp.inf,
+        )
+        rho = gain_ratio(new_cost, cost, pred)
+        accept = jnp.logical_and(rho > 0.0, bwd_feasible)
+        stalled = jnp.logical_and(
+            jnp.logical_not(accept), rp >= cfg.reg_max
+        ) & bool(cfg.stall_exit)
+        rp, r_inc = lm_update(rp, r_inc, rho, accept, cfg)
+        x = jnp.where(accept, temp_x, x)
+        u = jnp.where(accept, temp_u, u)
+        Hu_norm = jnp.where(stalled, jnp.asarray(jnp.nan, dtype), Hu_norm)
+        return x, u, t + 1, rp, r_inc, Hu_norm
+
+    def cond(val):
+        _, _, t, _, _, Hu_norm = val
+        done = jnp.logical_or(Hu_norm < cfg.tol, t > cfg.max_newton_iters)
+        done = jnp.logical_or(done, jnp.logical_not(jnp.isfinite(Hu_norm)))
+        return jnp.logical_not(done)
+
+    x, u, iters, _, _, _ = lax.while_loop(
+        cond,
+        body,
+        (
+            states,
+            controls,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(cfg.reg_init, dtype),
+            jnp.asarray(cfg.reg_inc_init, dtype),
+            init_norm,
+        ),
+    )
+    return x, u, iters
+
+
 def par_interior_point_optimal_control(
     ocp: OCP, controls, initial_state, cfg: SolverConfig = DEFAULT_CONFIG
 ):
@@ -190,9 +254,14 @@ def par_interior_point_optimal_control(
     (par_interior_point_newton.py:228-254): returns
     ``(optimal_controls, total_newton_iterations)``.
     """
+    stage_fn = (
+        _newton_stage_par_single
+        if cfg.globalization == "single"
+        else _newton_stage_par
+    )
 
     def stage(u, bp):
-        _, u, iters = _newton_stage_par(ocp, u, initial_state, bp, cfg)
+        _, u, iters = stage_fn(ocp, u, initial_state, bp, cfg)
         return u, iters
 
     return barrier_loop(stage, controls, cfg)

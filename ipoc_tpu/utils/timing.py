@@ -11,6 +11,19 @@ import time
 from typing import Callable
 
 import jax
+import numpy as np
+
+
+def sync(tree):
+    """Force completion of a computation.
+
+    On remote-attached TPU platforms (the axon tunnel used in this
+    environment) ``jax.block_until_ready`` can return before device
+    execution finishes; fetching to host is the only reliable barrier, so we
+    do both.
+    """
+    jax.block_until_ready(tree)
+    return jax.tree.map(np.asarray, tree)
 
 
 def time_fn(fn: Callable, *args, reps: int = 10, warmup: int = 1):
@@ -19,10 +32,10 @@ def time_fn(fn: Callable, *args, reps: int = 10, warmup: int = 1):
     Returns ``(mean_s, median_s, times)``.
     """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
         times.append(time.perf_counter() - t0)
     return statistics.fmean(times), statistics.median(times), times
