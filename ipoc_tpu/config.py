@@ -44,6 +44,13 @@ class SolverConfig:
     max_inner_iters: int = 500
     max_ddp_iters: int = 500
 
+    # Early convergence on negligible predicted reduction (0.0 = off,
+    # reference semantics): when the backward pass is convex and the model
+    # predicts |dV| < pred_floor * (1 + |cost|), the stage is at numerical
+    # stationarity for the working precision — stop instead of grinding at
+    # the gradient tolerance.  Used by the f32 batch preset.
+    pred_floor: float = 0.0
+
     # Stall exit (deviation from the reference, default on): once a trial
     # step at the maximum regularization reg_max has been rejected, no later
     # trial in the stage can succeed (the reference then spins through its

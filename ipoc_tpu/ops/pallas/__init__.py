@@ -30,3 +30,16 @@ def use_pallas_scans(dtype, n: int) -> bool:
     if _MODE == "on":
         return eligible
     return eligible and jax.default_backend() == "tpu"
+
+
+def use_fused_newton(dtype, n: int) -> bool:
+    """Gate for the single-launch fused Newton-trial kernel.
+
+    Same eligibility as the scan kernels plus an env kill-switch
+    (IPOC_FUSED_NEWTON=0) in case its larger compile time is unwanted.
+    """
+    import os
+
+    if os.environ.get("IPOC_FUSED_NEWTON", "1") == "0":
+        return False
+    return use_pallas_scans(dtype, n)

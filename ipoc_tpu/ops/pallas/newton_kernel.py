@@ -1,0 +1,267 @@
+"""Fused Newton-trial kernel: the whole parallel LQT solve in one launch.
+
+Per trust-region trial, the reference pipeline (reference
+par_interior_point_newton.py:107-124) is: build the Newton LQT from stage
+data (noc_to_lqt), run the parallel backward pass, then the parallel forward
+pass.  Split across XLA ops that is 2 kernel launches plus hundreds of small
+batched ops with HBM round-trips between them.  This kernel performs the
+entire trial in one launch on the lane layout of scan_kernels.py:
+
+1. LQT reference trick: ``s = -(R - M^T Q^{-1} M)^{-1} ru``,
+   ``r = -Q^{-1} M s`` (reference par:50-84), in-register eliminations.
+2. Conditional-value elements (cross terms eliminated; H = Z = I, c = 0,
+   r_T = 0 — the exact shape the Newton solver always produces).
+3. Hillis-Steele suffix scan of the value elements (log2 Tp rounds).
+4. Terminal fold with X_T and shift to per-stage (S_{k+1}, v_{k+1}).
+5. Stage gains ``K, d``, per-stage predicted reduction ``dV``, and
+   positive-definiteness via elimination pivots (Sylvester: all leading
+   pivots positive <=> PD, same signal as Cholesky success).
+6. Closed-loop prefix scan from zero deviation -> ``(du, dx)``.
+
+Outputs: du (T, nu), dx (T+1, nx), plus per-stage dV and min-pivot rows that
+the caller reduces (pred_reduction = sum dV; feasible = all pivots > 0 and
+finite).  Batch-native via the same grid/custom_vmap machinery as the scan
+kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ipoc_tpu.ops.pallas.scan_kernels import (
+    LANES,
+    _ceil_to,
+    _grid_call,
+    _lane_index,
+    _mm,
+    _mv,
+    _pack_mat,
+    _pack_vec,
+    _scan_rounds,
+    _solve,
+    _transpose,
+    _unpack_mat,
+    _unpack_vec,
+    _value_combine_lanes,
+)
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _solve_track(LHS, RHS, n, m):
+    """Unpivoted elimination that also returns the per-lane minimum pivot."""
+    a = [LHS[..., r, :] for r in range(n * n)]
+    b = [RHS[..., r, :] for r in range(n * m)]
+    minpiv = a[0]
+    for k in range(n):
+        piv = a[k * n + k]
+        minpiv = jnp.minimum(minpiv, piv) if k else piv
+        inv_p = 1.0 / piv
+        for j in range(k + 1, n):
+            a[k * n + j] = a[k * n + j] * inv_p
+        for j in range(m):
+            b[k * m + j] = b[k * m + j] * inv_p
+        for i in range(k + 1, n):
+            f = a[i * n + k]
+            for j in range(k + 1, n):
+                a[i * n + j] = a[i * n + j] - f * a[k * n + j]
+            for j in range(m):
+                b[i * m + j] = b[i * m + j] - f * b[k * m + j]
+    for i in range(n - 2, -1, -1):
+        for l in range(i + 1, n):
+            f = a[i * n + l]
+            for j in range(m):
+                b[i * m + j] = b[i * m + j] - f * b[l * m + j]
+    return jnp.stack(b, axis=-2), minpiv
+
+
+def _eye_rows(like_row, n):
+    return jnp.stack(
+        [jnp.full_like(like_row, 1.0 if r // n == r % n else 0.0)
+         for r in range(n * n)],
+        axis=-2,
+    )
+
+
+def _roll_left(x, Tp):
+    return pltpu.roll(x, Tp - 1, len(x.shape) - 1)
+
+
+def _fused_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref, XT_ref,
+                  du_o, dx_o, dv_o, piv_o, *, nx, nu, T, Tp):
+    ru = ru_ref[:]
+    Q = Q_ref[:]
+    R = R_ref[:]
+    M = M_ref[:]
+    fx = fx_ref[:]
+    fu = fu_ref[:]
+    XT = XT_ref[:]
+
+    t = _lane_index(Tp)
+    in_horizon = t < T
+
+    # --- 1. reference trick ------------------------------------------------
+    Mt = _transpose(M, nx, nu)
+    QinvM, piv_q = _solve_track(Q, M, nx, nu)
+    Schur = R - _mm(Mt, QinvM, nu, nx, nu)
+    s_neg, piv_schur = _solve_track(Schur, ru, nu, 1)  # = -s
+    s = -s_neg
+    r = -_mv(QinvM, s, nx, nu)
+
+    # --- 2. elements (H = Z = I, c = 0) ------------------------------------
+    I_u = _eye_rows(ru[..., 0, :], nu)
+    Uinv, piv_u = _solve_track(R, I_u, nu, nu)
+    UinvMt = _mm(Uinv, Mt, nu, nu, nx)
+    fuUinv = _mm(fu, Uinv, nx, nu, nu)
+    Abar = fx - _mm(fu, UinvMt, nx, nu, nx)
+    b_el = _mv(fu, s + _mv(UinvMt, r, nu, nx), nx, nu)
+    C_el = _mm(fuUinv, _transpose(fu, nx, nu), nx, nu, nx)
+    Xtil = Q - _mm(M, UinvMt, nx, nu, nx)
+    eta_el = _mv(Xtil, r, nx, nx)
+    J_el = Xtil
+
+    # Identity padding for lanes beyond the horizon.
+    I_x = _eye_rows(ru[..., 0, :], nx)
+    zero_m = jnp.zeros_like(Abar)
+    zero_v = jnp.zeros_like(b_el)
+    Abar = jnp.where(in_horizon, Abar, I_x)
+    b_el = jnp.where(in_horizon, b_el, zero_v)
+    C_el = jnp.where(in_horizon, C_el, zero_m)
+    eta_el = jnp.where(in_horizon, eta_el, zero_v)
+    J_el = jnp.where(in_horizon, J_el, zero_m)
+
+    # --- 3. suffix scan ----------------------------------------------------
+    elems = (Abar, b_el, C_el, eta_el, J_el)
+    combine = lambda a, b: _value_combine_lanes(a, b, nx)
+    A_s, b_s, C_s, eta_s, J_s = _scan_rounds(elems, combine, Tp, reverse=True)
+
+    # --- 4. terminal fold + stage shift ------------------------------------
+    # e_T = (0, 0, 0, eta=0, J=XT): full[k] = combine(scanned[k], e_T).
+    eT = (zero_m, zero_v, zero_m, zero_v, XT)
+    _, _, _, v_full, S_full = combine((A_s, b_s, C_s, eta_s, J_s), eT)
+    # (S_{k+1}, v_{k+1}): shift left one lane; stage T-1 sees (XT, 0).
+    is_last = t == T - 1
+    S_next = jnp.where(is_last, XT, _roll_left(S_full, Tp))
+    v_next = jnp.where(is_last, jnp.zeros_like(v_full), _roll_left(v_full, Tp))
+
+    # --- 5. stage gains ----------------------------------------------------
+    fuT = _transpose(fu, nx, nu)
+    fxT = _transpose(fx, nx, nx)
+    Sfu = _mm(S_next, fu, nx, nx, nu)
+    Quu = R + _mm(fuT, Sfu, nu, nx, nu)
+    Qxu = M + _mm(fxT, Sfu, nx, nx, nu)
+    qu = -_mv(R, s, nu, nu) - _mv(Mt, r, nu, nx) - _mv(fuT, v_next, nu, nx)
+    # Solve Quu [d | K] = [-qu | Qxu^T] in one elimination.
+    QxuT = _transpose(Qxu, nx, nu)
+    KD, piv_quu = _solve_track(
+        Quu, jnp.concatenate([-qu, QxuT], axis=-2), nu, 1 + nx
+    )
+    # Row-major (nu, 1+nx): column 0 is d, columns 1..nx are K.
+    d_ff = jnp.stack([KD[..., i * (1 + nx) + 0, :] for i in range(nu)], axis=-2)
+    K = jnp.stack(
+        [KD[..., i * (1 + nx) + 1 + j, :] for i in range(nu) for j in range(nx)],
+        axis=-2,
+    )
+    dV = (
+        jnp.sum(d_ff * qu, axis=-2, keepdims=True)
+        + 0.5 * jnp.sum(d_ff * _mv(Quu, d_ff, nu, nu), axis=-2, keepdims=True)
+    )
+
+    # --- 6. forward prefix scan from zero deviation ------------------------
+    F_cl = fx - _mm(fu, K, nx, nu, nx)
+    e_cl = _mv(fu, d_ff, nx, nu)
+    F_cl = jnp.where(in_horizon, F_cl, I_x)
+    e_cl = jnp.where(in_horizon, e_cl, zero_v)
+    pref = _scan_rounds(
+        (F_cl, e_cl),
+        lambda a, b: (_mm(b[0], a[0], nx, nx, nx),
+                      _mv(b[0], a[1], nx, nx) + b[1]),
+        Tp,
+        reverse=False,
+    )
+    # x_{k+1} = c-part of prefix[k] (x0 = 0); dx_stage = shift right.
+    x_next = pref[1]
+    dx = jnp.where(t == 0, jnp.zeros_like(x_next),
+                   pltpu.roll(x_next, 1, len(x_next.shape) - 1))
+    du = d_ff - _mv(K, dx, nu, nx)
+
+    # Outputs (mask pads; piv Naware: keep finite signal only in-horizon).
+    ones = jnp.ones_like(dV)
+    # Feasibility signal matches par_bwd_pass: Quu PD at every stage and the
+    # (regularized) control weight PD.  Q/Schur singularity is not a
+    # rejection criterion in the reference either — it surfaces as
+    # non-finite pred, caught by the caller's isfinite check.
+    del piv_q, piv_schur
+    minpiv = jnp.minimum(piv_u, piv_quu)[..., None, :]
+    du_o[:] = jnp.where(in_horizon, du, jnp.zeros_like(du))
+    dx_o[:] = jnp.where(t <= T, dx, jnp.zeros_like(dx))
+    dv_o[:] = jnp.where(in_horizon, dV, jnp.zeros_like(dV))
+    piv_o[:] = jnp.where(in_horizon, minpiv, ones)
+
+
+def _fused_newton_batched(ru, Q, R, M, fx, fu, XT, interpret=False):
+    """Batched host wrapper.  Shapes: ru (B,T,nu), Q (B,T,nx,nx), ...,
+    XT (B,nx,nx).  Returns du (B,T,nu), dx (B,T+1,nx), pred (B,), ok (B,)."""
+    B, T, nx, nu = fu.shape
+    Tp = _ceil_to(max(T + 1, LANES), LANES)
+    ins = (
+        _pack_vec(ru, Tp),
+        _pack_mat(Q, Tp),
+        _pack_mat(R, Tp),
+        _pack_mat(M, Tp),
+        _pack_mat(fx, Tp),
+        _pack_mat(fu, Tp),
+        jnp.broadcast_to(
+            XT.reshape(B, nx * nx, 1), (B, nx * nx, Tp)
+        ),
+    )
+    kernel = functools.partial(_fused_kernel, nx=nx, nu=nu, T=T, Tp=Tp)
+    rows = (nu, nx, 1, 1)
+    du_p, dx_p, dv_p, piv_p = _grid_call(
+        kernel, ins, rows, Tp, fu.dtype, interpret
+    )
+    du = _unpack_vec(du_p, T, nu)
+    dx = _unpack_vec(dx_p, T + 1, nx)
+    pred = jnp.sum(dv_p[:, 0, :], axis=-1)
+    piv = piv_p[:, 0, :]
+    ok = jnp.all(jnp.isfinite(piv) & (piv > 0), axis=-1) & jnp.all(
+        jnp.isfinite(pred[..., None]), axis=-1
+    )
+    return du, dx, pred, ok
+
+
+@jax.custom_batching.custom_vmap
+def _fused_newton(ru, Q, R, M, fx, fu, XT):
+    out = _fused_newton_batched(
+        ru[None], Q[None], R[None], M[None], fx[None], fu[None], XT[None]
+    )
+    return tuple(o[0] for o in out)
+
+
+@_fused_newton.def_vmap
+def _fused_newton_vmap(axis_size, in_batched, ru, Q, R, M, fx, fu, XT):
+    del axis_size
+    assert all(in_batched), "partial batching unsupported"
+    out = _fused_newton_batched(ru, Q, R, M, fx, fu, XT)
+    return out, (True,) * 4
+
+
+def fused_newton_step(ru, Q, R, M, fx, fu, XT, interpret: bool = False):
+    """One fused parallel Newton trial.
+
+    Inputs are the costate-contracted Newton stage data (reference
+    compute_lqr_params output) with the *already regularized* R and the
+    terminal Hessian XT.  Returns ``(du, dx, pred_reduction, feasible)``
+    where (du, dx) is the full step from zero deviation — drop-in for the
+    newton_lqt + par_bwd_pass + par_fwd_pass pipeline.
+    """
+    if interpret:
+        out = _fused_newton_batched(
+            ru[None], Q[None], R[None], M[None], fx[None], fu[None], XT[None],
+            interpret=True,
+        )
+        return tuple(o[0] for o in out)
+    return _fused_newton(ru, Q, R, M, fx, fu, XT)

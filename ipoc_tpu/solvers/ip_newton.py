@@ -70,12 +70,27 @@ def par_newton_step(ocp: OCP, x, d: Derivatives, rp, lin: LinearizedOCP,
 
     Returns ``(dx, du, pred_reduction, feasible, Hu)``; the forward pass
     starts from zero deviation, so (dx, du) are additive updates.
+
+    On TPU/f32 the whole trial runs as ONE fused Pallas kernel
+    (ops/pallas/newton_kernel.py); elsewhere it is the newton_lqt ->
+    par_bwd_pass -> par_fwd_pass pipeline.
     """
+    from ipoc_tpu.ops.pallas import use_fused_newton
+
     lin_reg = _regularized(lin, d, rp, cfg.scale_reg_by_grad)
     if cfg.terminal_hessian == "reference":
         XT = lin.Q[0]  # reference quirk, par:74
     else:
         XT = hessian(ocp.final_cost)(x[-1])
+
+    if use_fused_newton(lin_reg.Q.dtype, lin_reg.Q.shape[-1]):
+        from ipoc_tpu.ops.pallas.newton_kernel import fused_newton_step
+
+        du, dx, pred_reduction, feasible = fused_newton_step(
+            lin_reg.r, lin_reg.Q, lin_reg.R, lin_reg.M, d.fx, d.fu, XT
+        )
+        return dx, du, pred_reduction, feasible, lin.r
+
     lqt = newton_lqt(lin_reg, d, XT)
     Kx, kff, _, _, pred_reduction, feasible = par_bwd_pass(lqt)
     du, dx = par_fwd_pass(lqt, jnp.zeros_like(x[0]), Kx, kff)
@@ -222,6 +237,14 @@ def _newton_stage_par_single(ocp: OCP, controls, initial_state, bp,
         x = jnp.where(accept, temp_x, x)
         u = jnp.where(accept, temp_u, u)
         Hu_norm = jnp.where(stalled, jnp.asarray(jnp.nan, dtype), Hu_norm)
+        if cfg.pred_floor > 0.0:
+            # Negligible predicted reduction at a convex step: numerically
+            # stationary for this precision — signal convergence.
+            tiny = jnp.logical_and(
+                bwd_feasible,
+                jnp.abs(pred) < cfg.pred_floor * (1.0 + jnp.abs(cost)),
+            )
+            Hu_norm = jnp.where(tiny, jnp.zeros((), dtype), Hu_norm)
         return x, u, t + 1, rp, r_inc, Hu_norm
 
     def cond(val):
