@@ -50,6 +50,30 @@ def constraints(state, control):
     return jnp.stack([control[0] - CONTROL_BOUND, -control[0] - CONTROL_BOUND])
 
 
+def make_constraints(cart_limit: float | None = None):
+    """Input box plus optional cart-position state box |x_cart| <= limit.
+
+    The state-constrained variant covers BASELINE.json config 3
+    ("parallel IP with input+state constraints"); the reference only demos
+    control boxes, but its interface (and ours) supports general
+    ``c(x, u) <= 0``.
+    """
+    if cart_limit is None:
+        return constraints
+
+    def cons(state, control):
+        return jnp.concatenate(
+            [
+                constraints(state, control),
+                jnp.stack(
+                    [state[0] - cart_limit, -state[0] - cart_limit]
+                ),
+            ]
+        )
+
+    return cons
+
+
 def _error(state):
     goal = jnp.asarray(GOAL, dtype=state.dtype)
     wrapped = jnp.stack([state[0], wrap_angle(state[1]), state[2], state[3]])
@@ -71,9 +95,14 @@ def final_cost(state):
     return 0.5 * jnp.sum(w * err**2)
 
 
-def make_ocp(dt: float) -> OCP:
-    """Euler-discretized constrained cartpole OCP (cartpole_runtime.py:99)."""
-    return barrier_ocp(euler(ode, dt), constraints, stage_cost, final_cost)
+def make_ocp(dt: float, cart_limit: float | None = None) -> OCP:
+    """Euler-discretized constrained cartpole OCP (cartpole_runtime.py:99).
+
+    ``cart_limit`` adds the state box |x_cart| <= limit (input+state
+    constrained variant)."""
+    return barrier_ocp(
+        euler(ode, dt), make_constraints(cart_limit), stage_cost, final_cost
+    )
 
 
 def initial_state(dtype=jnp.float32):
