@@ -75,6 +75,15 @@ class SolverConfig:
     # Reference par/ddp scale the regularizer by ||cu|| (par:116-118,
     # ddp:34-35); the seq solver adds it unscaled (seq:51).
     scale_reg_by_grad: bool = True
+    # Floor for the ||cu|| scale (deviation from the reference, which
+    # multiplies the regularizer by exactly ||cu||): at points where cu
+    # vanishes identically — e.g. a zero warm start with a symmetric
+    # barrier, where R u = 0 and the barrier gradient cancels — the
+    # reference's regularization is multiplied by zero, the trust-region
+    # loop cannot shrink the step, and the solver wedges.  Any positive
+    # floor restores LM behavior; negligible elsewhere (||cu|| is O(0.1+)
+    # on the benchmark problems).
+    reg_scale_floor: float = 1e-6
     # Reference quirk (par:74): the LQT terminal weight is set to Q[0]
     # instead of hessian(final_cost)(xT).  "exact" fixes it (documented
     # deliberate deviation, SURVEY §7 "Hard parts"); "reference" replicates.

@@ -22,14 +22,19 @@ from ipoc_tpu.solvers.globalization import gain_ratio, lm_update
 from ipoc_tpu.utils.integrators import closed_loop_rollout, rollout
 
 
-def ddp_bwd_pass(final_cost, final_state, d: Derivatives, reg_param):
+def ddp_bwd_pass(final_cost, final_state, d: Derivatives, reg_param,
+                 scale_floor: float = 1e-6):
     """DDP backward pass (reference ddp:28-70).
 
     Value-gradient-contracted curvature: ``Qxx = cxx + fx^T Vxx fx + Vx.fxx``
     etc.; regularization scaled by ``||cu||`` then added to ``Quu``
-    (ddp:34-35, 46).  Returns ``(ffgain, gain, pred_reduction, feasible, Qu)``.
+    (ddp:34-35, 46) — floored like the Newton solver (see
+    SolverConfig.reg_scale_floor).  Returns
+    ``(ffgain, gain, pred_reduction, feasible, Qu)``.
     """
-    rp = reg_param * jnp.linalg.norm(d.cu)
+    rp = reg_param * jnp.maximum(
+        jnp.linalg.norm(d.cu), jnp.asarray(scale_floor, d.cu.dtype)
+    )
 
     def step(carry, inp):
         Vx, Vxx = carry
@@ -87,7 +92,7 @@ def _ddp_stage(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
         def trial(inner):
             _, _, _, _, rp, r_inc, k, _ = inner
             ffgain, gain, pred, bwd_feasible, Qu = ddp_bwd_pass(
-                ocp.final_cost, x[-1], d, rp
+                ocp.final_cost, x[-1], d, rp, cfg.reg_scale_floor
             )
             temp_x, temp_u = closed_loop_rollout(
                 ocp.dynamics, gain, ffgain, x, u

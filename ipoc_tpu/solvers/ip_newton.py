@@ -51,14 +51,19 @@ from ipoc_tpu.solvers.globalization import gain_ratio, lm_update
 from ipoc_tpu.utils.integrators import rollout
 
 
-def _regularized(lin: LinearizedOCP, d: Derivatives, rp, scale_by_grad: bool):
+def _regularized(lin: LinearizedOCP, d: Derivatives, rp, scale_by_grad: bool,
+                 scale_floor: float = 1e-6):
     """Levenberg regularization of the control Hessian block.
 
     Reference par:116-118: ``R += rp * ||cu||_F * I`` (the seq solver adds
-    ``rp`` unscaled inside its backward pass instead, seq:51).
+    ``rp`` unscaled inside its backward pass instead, seq:51).  The scale is
+    floored (see SolverConfig.reg_scale_floor) so that points with
+    identically vanishing ``cu`` can still be regularized.
     """
     if scale_by_grad:
-        rp = rp * jnp.linalg.norm(d.cu)
+        rp = rp * jnp.maximum(
+            jnp.linalg.norm(d.cu), jnp.asarray(scale_floor, d.cu.dtype)
+        )
     nu = lin.R.shape[-1]
     R = lin.R + rp * jnp.eye(nu, dtype=lin.R.dtype)
     return LinearizedOCP(lin.r, lin.Q, R, lin.M)
@@ -77,7 +82,9 @@ def par_newton_step(ocp: OCP, x, d: Derivatives, rp, lin: LinearizedOCP,
     """
     from ipoc_tpu.ops.pallas import use_fused_newton
 
-    lin_reg = _regularized(lin, d, rp, cfg.scale_reg_by_grad)
+    lin_reg = _regularized(
+        lin, d, rp, cfg.scale_reg_by_grad, cfg.reg_scale_floor
+    )
     if cfg.terminal_hessian == "reference":
         XT = lin.Q[0]  # reference quirk, par:74
     else:
