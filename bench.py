@@ -23,6 +23,11 @@ import statistics
 import sys
 import time
 
+# The fused Newton-trial kernel is validated but its on-hardware compile
+# time is not yet characterized; default it off here so the benchmark always
+# runs the known-good configuration.  Set IPOC_FUSED_NEWTON=1 to measure it.
+os.environ.setdefault("IPOC_FUSED_NEWTON", "0")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

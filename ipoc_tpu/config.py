@@ -75,15 +75,17 @@ class SolverConfig:
     # Reference par/ddp scale the regularizer by ||cu|| (par:116-118,
     # ddp:34-35); the seq solver adds it unscaled (seq:51).
     scale_reg_by_grad: bool = True
-    # Floor for the ||cu|| scale (deviation from the reference, which
-    # multiplies the regularizer by exactly ||cu||): at points where cu
-    # vanishes identically — e.g. a zero warm start with a symmetric
-    # barrier, where R u = 0 and the barrier gradient cancels — the
-    # reference's regularization is multiplied by zero, the trust-region
-    # loop cannot shrink the step, and the solver wedges.  Any positive
-    # floor restores LM behavior; negligible elsewhere (||cu|| is O(0.1+)
-    # on the benchmark problems).
-    reg_scale_floor: float = 1e-6
+    # Floor for the ||cu|| scale.  The reference multiplies the regularizer
+    # by exactly ||cu|| (par:116-118): elegant scale-invariance, but at
+    # points where cu vanishes identically — e.g. a zero warm start with a
+    # symmetric barrier, where R u = 0 and the barrier gradient cancels —
+    # regularization is multiplied by zero, no retry can shrink an
+    # infeasible step, and the stage stalls out returning its input.  A
+    # positive floor restores LM behavior there at the cost of a whisper of
+    # damping on problems where cu = 0 is benign (e.g. exact-Newton linear
+    # solves lose their one-step machine-precision property).  Default 0.0
+    # = exact reference parity; the FAST/BATCH presets use 1e-6.
+    reg_scale_floor: float = 0.0
     # Reference quirk (par:74): the LQT terminal weight is set to Q[0]
     # instead of hessian(final_cost)(xT).  "exact" fixes it (documented
     # deliberate deviation, SURVEY §7 "Hard parts"); "reference" replicates.
@@ -96,8 +98,11 @@ class SolverConfig:
 DEFAULT_CONFIG = SolverConfig()
 
 # Benchmark-friendly config: identical math, tighter iteration caps so a
-# non-converging lane cannot consume 1000 Newton iterations of wall clock.
-FAST_CONFIG = SolverConfig(max_newton_iters=200, max_inner_iters=60)
+# non-converging lane cannot consume 1000 Newton iterations of wall clock,
+# plus the regularization-scale floor for arbitrary (e.g. zero) warm starts.
+FAST_CONFIG = SolverConfig(
+    max_newton_iters=200, max_inner_iters=60, reg_scale_floor=1e-6
+)
 
 # Batched-throughput config: single-trial globalization (no lockstep retry
 # loop) on top of FAST_CONFIG.

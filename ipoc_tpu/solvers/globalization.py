@@ -29,6 +29,7 @@ def lm_update(rp, r_inc, rho, success, cfg: SolverConfig):
     resets to 2; on failure ``rp *= r_inc`` and the growth factor doubles.
     ``rp`` is clipped to [reg_min, reg_max].  (Reference par:166-173.)
     """
+    dtype = rp.dtype
     rp = jnp.where(
         success,
         rp * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
@@ -36,4 +37,7 @@ def lm_update(rp, r_inc, rho, success, cfg: SolverConfig):
     )
     r_inc = jnp.where(success, 2.0, 2.0 * r_inc)
     rp = jnp.clip(rp, cfg.reg_min, cfg.reg_max)
-    return rp, r_inc
+    # Coerce back to the carry dtype: the gain ratio may be computed at a
+    # higher precision than the solver state (mixed-precision cost
+    # accumulation) and must not promote the while-loop carry.
+    return rp.astype(dtype), r_inc.astype(dtype)

@@ -38,7 +38,7 @@ def _stage_data(model, T, nx, rp=1.0, bp=0.1):
     return ocp, d, lin_reg, XT
 
 
-@pytest.mark.parametrize("model,T,nx", [(cartpole, 40, 4), (pendulum, 100, 2)])
+@pytest.mark.parametrize("model,T,nx", [(cartpole, 40, 4), (pendulum, 60, 2)])
 def test_fused_matches_pipeline(model, T, nx):
     ocp, d, lin_reg, XT = _stage_data(model, T, nx)
     lqt = newton_lqt(lin_reg, d, XT)

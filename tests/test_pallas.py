@@ -29,7 +29,7 @@ def _restore_gate():
     set_pallas_scans("auto")
 
 
-@pytest.mark.parametrize("T", [5, 100, 128, 300])
+@pytest.mark.parametrize("T", [5, 100, 128])
 @pytest.mark.parametrize("n", [2, 4])
 def test_affine_suffix_scan(rng, T, n):
     F = jnp.array(rng.normal(size=(T, n, n)) * 0.5, dtype=jnp.float32)
@@ -42,7 +42,7 @@ def test_affine_suffix_scan(rng, T, n):
     np.testing.assert_allclose(got[1], exp[1], atol=2e-4)
 
 
-@pytest.mark.parametrize("T", [7, 128, 250])
+@pytest.mark.parametrize("T", [7, 130])
 def test_affine_prefix_scan(rng, T):
     n = 3
     F = jnp.array(rng.normal(size=(T, n, n)) * 0.5, dtype=jnp.float32)

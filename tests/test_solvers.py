@@ -164,3 +164,23 @@ def test_f32_solve_finite(pendulum_problem):
     assert u32.dtype == jnp.float32
     assert bool(jnp.all(jnp.isfinite(u32)))
     assert float(jnp.abs(u32).max()) <= pendulum.CONTROL_BOUND
+
+
+def test_zero_warm_start_with_reg_floor(pendulum_problem):
+    """A zero warm start makes cu vanish identically (R u = 0, symmetric
+    barrier gradients cancel), which multiplies the reference's
+    ||cu||-scaled regularization to zero and wedges the stage.  The
+    reg_scale_floor in the FAST/BATCH presets restores LM behavior; the
+    pure-parity DEFAULT_CONFIG instead stall-exits quickly and returns the
+    input."""
+    ocp, _, x0 = pendulum_problem
+    u0 = jnp.zeros((50, 1))
+    u, iters = ipoc_tpu.par_interior_point_optimal_control(
+        ocp, u0, x0, ipoc_tpu.FAST_CONFIG
+    )
+    assert float(jnp.abs(u).max()) > 1.0  # actually solved the swing-up
+    assert float(jnp.abs(u).max()) < 5.0
+    # parity config: bounded exit, input returned unchanged
+    u_d, it_d = ipoc_tpu.par_interior_point_optimal_control(ocp, u0, x0)
+    assert int(it_d) <= 10
+    np.testing.assert_array_equal(np.asarray(u_d), np.asarray(u0))
