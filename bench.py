@@ -46,7 +46,7 @@ import ipoc_tpu
 from ipoc_tpu.models import cartpole
 from ipoc_tpu.solvers.batched import make_batch, solve_batch
 
-BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "128"))
+BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "2048"))
 REPS = int(os.environ.get("IPOC_BENCH_REPS", "5"))
 HORIZON = int(os.environ.get("IPOC_BENCH_HORIZON", "100"))
 DT = 1.0 / HORIZON  # reference sweep keeps H * dt = 1 s

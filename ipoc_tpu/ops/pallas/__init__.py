@@ -32,6 +32,15 @@ def use_pallas_scans(dtype, n: int) -> bool:
     return eligible and jax.default_backend() == "tpu"
 
 
+def use_seq_newton(dtype, n: int) -> bool:
+    """Gate for the batched sequential Newton-trial kernel (batch in lanes).
+
+    Same eligibility as the scan kernels; selected by
+    ``SolverConfig.newton_impl == "seq"`` (the batched-throughput path).
+    """
+    return use_pallas_scans(dtype, n)
+
+
 def use_fused_newton(dtype, n: int) -> bool:
     """Gate for the single-launch fused Newton-trial kernel.
 

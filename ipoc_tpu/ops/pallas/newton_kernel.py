@@ -87,7 +87,7 @@ def _eye_rows(like_row, n):
 
 
 def _roll_left(x, Tp):
-    return pltpu.roll(x, Tp - 1, len(x.shape) - 1)
+    return pltpu.roll(x, jnp.int32(Tp - 1), len(x.shape) - 1)
 
 
 def _fused_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref, XT_ref,
@@ -185,7 +185,7 @@ def _fused_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref, XT_ref,
     # x_{k+1} = c-part of prefix[k] (x0 = 0); dx_stage = shift right.
     x_next = pref[1]
     dx = jnp.where(t == 0, jnp.zeros_like(x_next),
-                   pltpu.roll(x_next, 1, len(x_next.shape) - 1))
+                   pltpu.roll(x_next, jnp.int32(1), len(x_next.shape) - 1))
     du = d_ff - _mv(K, dx, nu, nx)
 
     # Outputs (mask pads; piv Naware: keep finite signal only in-horizon).
@@ -243,9 +243,11 @@ def _fused_newton(ru, Q, R, M, fx, fu, XT):
 
 @_fused_newton.def_vmap
 def _fused_newton_vmap(axis_size, in_batched, ru, Q, R, M, fx, fu, XT):
-    del axis_size
-    assert all(in_batched), "partial batching unsupported"
-    out = _fused_newton_batched(ru, Q, R, M, fx, fu, XT)
+    from ipoc_tpu.ops.pallas.scan_kernels import _broadcast_unbatched
+
+    args = _broadcast_unbatched(axis_size, in_batched,
+                                (ru, Q, R, M, fx, fu, XT))
+    out = _fused_newton_batched(*args)
     return out, (True,) * 4
 
 

@@ -200,12 +200,17 @@ def _scan_rounds(elems, combine, Tp, reverse):
     while d < Tp:
         if reverse:
             # r[t] <- combine(r[t], r[t + d]); left-shift == roll by Tp - d.
-            shifted = tuple(pltpu.roll(e, Tp - d, len(e.shape) - 1) for e in elems)
+            shifted = tuple(
+                pltpu.roll(e, jnp.int32(Tp - d), len(e.shape) - 1)
+                for e in elems
+            )
             cand = combine(elems, shifted)
             keep = t >= Tp - d
         else:
             # r[t] <- combine(r[t - d], r[t]).
-            shifted = tuple(pltpu.roll(e, d, len(e.shape) - 1) for e in elems)
+            shifted = tuple(
+                pltpu.roll(e, jnp.int32(d), len(e.shape) - 1) for e in elems
+            )
             cand = combine(shifted, elems)
             keep = t < d
         elems = tuple(jnp.where(keep, e, c) for e, c in zip(elems, cand))
@@ -241,14 +246,17 @@ def _grid_call(kernel, ins, out_rows, Tp, dtype, interpret):
                      memory_space=pltpu.VMEM)
         for r in out_rows
     )
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        out_shape=out_shape,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        interpret=interpret,
-    )(*ins)
+    # Trace in x32 mode regardless of ambient jax_enable_x64: Mosaic's
+    # index/loop/roll machinery requires i32 and all kernel math is f32.
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=interpret,
+        )(*ins)
     if Bp != B:
         outs = tuple(o[:B] for o in outs)
     return outs
@@ -293,11 +301,17 @@ def _affine_scan_prefix(F, c):
     return out[0][0], out[1][0]
 
 
+def _broadcast_unbatched(axis_size, in_batched, args):
+    """Give unbatched args a broadcast batch axis (custom_vmap rule helper)."""
+    return tuple(
+        a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        for a, b in zip(args, in_batched)
+    )
+
+
 def _make_affine_rule(reverse):
     def rule(axis_size, in_batched, F, c):
-        del axis_size
-        # Move any batch axes to the front (custom_vmap delivers axis 0).
-        assert in_batched[0] and in_batched[1], "partial batching unsupported"
+        F, c = _broadcast_unbatched(axis_size, in_batched, (F, c))
         out = _affine_scan_batched(F, c, reverse, False)
         return out, (True, True)
 
@@ -362,8 +376,8 @@ def _value_scan(A, b, C, eta, J):
 
 @_value_scan.def_vmap
 def _value_scan_vmap_rule(axis_size, in_batched, A, b, C, eta, J):
-    del axis_size
-    assert all(in_batched), "partial batching unsupported"
+    A, b, C, eta, J = _broadcast_unbatched(axis_size, in_batched,
+                                           (A, b, C, eta, J))
     out = _value_scan_batched(A, b, C, eta, J, False)
     return out, (True,) * 5
 

@@ -1,0 +1,426 @@
+"""Fused batched sequential Newton-trial kernel: batch in lanes, time in a loop.
+
+Throughput-path counterpart of ``newton_kernel.py``.  The parallel-in-time
+kernels put the *horizon* on the 128-wide lane axis and pay O(T log T)
+combine work per solve — the right trade when one solve must finish fast
+(the reference's headline algorithm, par_interior_point_newton.py:107-124).
+When thousands of scenarios are solved together (SURVEY §7 L5, the
+BASELINE.json throughput north star), the batch itself saturates the VPU and
+the O(T) *sequential* Riccati recursion (reference
+seq_interior_point_newton.py:42-90) is strictly less work per solve:
+
+* layout ``(T, rows, S, 128)``: batch along lanes (and S sublane groups),
+  every matrix entry a full ``(S, 128)`` VPU tile;
+* one launch runs the entire trial — backward Riccati recursion with
+  gain/pivot tracking, then the closed-loop forward deviation rollout — as
+  two ``fori_loop``s over T with carries in registers and gains staged in
+  VMEM scratch; no HBM traffic between stages;
+* per-lane positive-definiteness of every ``Quu`` (and of the regularized
+  control weight R) via elimination pivots (Sylvester: all leading pivots
+  positive <=> PD), the same feasibility signal as the parallel backward
+  pass (parallel/lqt.py par_bwd_pass).
+
+Inputs are the costate-contracted Newton stage data (reference
+compute_lqr_params, par_interior_point_newton.py:31-42) with R already
+regularized, plus the terminal Hessian XT.  Outputs ``(du, dx, pred, ok)``
+are drop-in for the newton_lqt -> par_bwd_pass -> par_fwd_pass pipeline:
+identical stationary points, identical predicted-reduction formula
+(seq:63), identical feasibility semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Small-matrix algebra on the (rows, LANES) layout: row r of an (n x m)
+# matrix holds entry (r // m, r % m) as a LANES-wide batch vector.
+# ---------------------------------------------------------------------------
+
+
+def _mm(A, B, n, k, m):
+    """(n x k) @ (k x m) per lane."""
+    rows = []
+    for i in range(n):
+        for j in range(m):
+            acc = A[i * k] * B[j]
+            for l in range(1, k):
+                acc = acc + A[i * k + l] * B[l * m + j]
+            rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def _mv(A, x, n, m):
+    """(n x m) @ (m,) per lane."""
+    rows = []
+    for i in range(n):
+        acc = A[i * m] * x[0]
+        for j in range(1, m):
+            acc = acc + A[i * m + j] * x[j]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def _transpose(A, n, m):
+    return jnp.stack([A[i * m + j] for j in range(m) for i in range(n)], axis=0)
+
+
+def _dot(a, b, n):
+    acc = a[0] * b[0]
+    for i in range(1, n):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def _solve_track(LHS, RHS, n, m):
+    """Unpivoted per-lane elimination; also returns the minimum pivot."""
+    a = [LHS[r] for r in range(n * n)]
+    b = [RHS[r] for r in range(n * m)]
+    minpiv = None
+    for k in range(n):
+        piv = a[k * n + k]
+        minpiv = piv if minpiv is None else jnp.minimum(minpiv, piv)
+        inv_p = 1.0 / piv
+        for j in range(k + 1, n):
+            a[k * n + j] = a[k * n + j] * inv_p
+        for j in range(m):
+            b[k * m + j] = b[k * m + j] * inv_p
+        for i in range(k + 1, n):
+            f = a[i * n + k]
+            for j in range(k + 1, n):
+                a[i * n + j] = a[i * n + j] - f * a[k * n + j]
+            for j in range(m):
+                b[i * m + j] = b[i * m + j] - f * b[k * m + j]
+    for i in range(n - 2, -1, -1):
+        for l in range(i + 1, n):
+            f = a[i * n + l]
+            for j in range(m):
+                b[i * m + j] = b[i * m + j] - f * b[l * m + j]
+    return jnp.stack(b, axis=0), minpiv
+
+
+def _pivots_only(A, n):
+    """Minimum leading pivot of an unpivoted elimination (PD test)."""
+    if n == 1:
+        return A[0]
+    a = [A[r] for r in range(n * n)]
+    minpiv = None
+    for k in range(n):
+        piv = a[k * n + k]
+        minpiv = piv if minpiv is None else jnp.minimum(minpiv, piv)
+        inv_p = 1.0 / piv
+        for j in range(k + 1, n):
+            a[k * n + j] = a[k * n + j] * inv_p
+        for i in range(k + 1, n):
+            f = a[i * n + k]
+            for j in range(k + 1, n):
+                a[i * n + j] = a[i * n + j] - f * a[k * n + j]
+    return minpiv
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _seq_trial_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref, XT_ref,
+                      du_o, dx_o, dv_o, piv_o, Kk_ref, *, nx, nu, T):
+    """Backward Riccati + forward deviation rollout, all lanes at once.
+
+    Recursion (reference seq_interior_point_newton.py:42-90):
+      Qxx = Q + fx'V fx;  Quu = R + fu'V fu;  Qxu = M + fx'V fu
+      Qu  = ru + fu'v;    Qx = fx'v
+      [k | K] = -Quu^{-1} [Qu | Qxu'];  v <- Qx + Qxu k;  V <- Qxx + Qxu K
+      dV += k'Qu + 1/2 k'Quu k
+    then dx0 = 0, du = k + K dx, dx+ = fx dx + fu du.
+
+    Refs are (1, T, rows, LANES) blocks (one 128-lane batch chunk per grid
+    step); XT is (1, rows, LANES).
+    """
+    lanes = (XT_ref.shape[-1],)
+
+    def bwd_step(i, carry):
+        Vxx, Vx, dv, minpiv = carry
+        # int32 arithmetic: under jax_enable_x64 a bare Python `T - 1` traces
+        # as i64, which Mosaic's index ops reject.
+        t = jnp.int32(T - 1) - i
+        ru = ru_ref[0, t]
+        Q = Q_ref[0, t]
+        R = R_ref[0, t]
+        M = M_ref[0, t]
+        fx = fx_ref[0, t]
+        fu = fu_ref[0, t]
+        fxT = _transpose(fx, nx, nx)
+        fuT = _transpose(fu, nx, nu)
+
+        Vfx = _mm(Vxx, fx, nx, nx, nx)
+        Vfu = _mm(Vxx, fu, nx, nx, nu)
+        Qxx = Q + _mm(fxT, Vfx, nx, nx, nx)
+        Quu = R + _mm(fuT, Vfu, nu, nx, nu)
+        Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
+        Qu = ru + _mv(fuT, Vx, nu, nx)
+        Qx = _mv(fxT, Vx, nx, nx)
+
+        # Quu [k | K] = -[Qu | Qxu'] in one elimination, pivots tracked.
+        rhs = jnp.concatenate([Qu, _transpose(Qxu, nx, nu)], axis=0)
+        sol, piv = _solve_track(Quu, rhs, nu, 1 + nx)
+        k = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)], axis=0)
+        K = -jnp.stack(
+            [sol[i_ * (1 + nx) + 1 + j] for i_ in range(nu) for j in range(nx)],
+            axis=0,
+        )
+        # Also require the regularized control weight itself PD — parity
+        # with par_bwd_pass's `U_ok` check (parallel/lqt.py).
+        piv = jnp.minimum(piv, _pivots_only(R, nu))
+
+        Kk_ref[t] = jnp.concatenate([k, K], axis=0)
+        Vx_new = Qx + _mv(Qxu, k, nx, nu)
+        Vxx_new = Qxx + _mm(Qxu, K, nx, nu, nx)
+        dv = dv + _dot(k, Qu, nu) + 0.5 * _dot(k, _mv(Quu, k, nu, nu), nu)
+        return Vxx_new, Vx_new, dv, jnp.minimum(minpiv, piv)
+
+    Vxx0 = XT_ref[0]
+    zeros_v = jnp.zeros((nx,) + lanes, Vxx0.dtype)
+    dv0 = jnp.zeros((1,) + lanes, Vxx0.dtype)
+    big = jnp.full((1,) + lanes, jnp.inf, Vxx0.dtype)
+    _, _, dv, minpiv = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), bwd_step, (Vxx0, zeros_v, dv0, big)
+    )
+    dv_o[0, 0] = dv
+    piv_o[0, 0] = minpiv
+
+    dx_o[0, 0] = zeros_v
+
+    def fwd_step(t, dx):
+        Kk = Kk_ref[t]
+        k = Kk[0:nu]
+        K = Kk[nu:]
+        fx = fx_ref[0, t]
+        fu = fu_ref[0, t]
+        du = k + _mv(K, dx, nu, nx)
+        dx_next = _mv(fx, dx, nx, nx) + _mv(fu, du, nx, nu)
+        du_o[0, t] = du
+        dx_o[0, t + 1] = dx_next
+        return dx_next
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), fwd_step, zeros_v)
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers: pack (B, T, n, m) -> (B/128, T, n*m, 128), grid over batch
+# chunks of 128 lanes; blocks cover the full (rows, 128) tile.
+# ---------------------------------------------------------------------------
+
+
+def _pack(M, Bp):
+    """(B, T, ...) -> (Bp//LANES, T, prod(...), LANES)."""
+    B, T = M.shape[:2]
+    rows = 1
+    for d in M.shape[2:]:
+        rows *= d
+    out = jnp.moveaxis(M.reshape(B, T, rows), 0, -1)  # (T, rows, B)
+    out = jnp.pad(out, ((0, 0), (0, 0), (0, Bp - B)))
+    return jnp.moveaxis(out.reshape(T, rows, Bp // LANES, LANES), 2, 0)
+
+
+def _unpack(R, B, shape):
+    """(Bp//LANES, T, rows, LANES) -> (B, T, *shape)."""
+    C, T, rows, _ = R.shape
+    out = jnp.moveaxis(R, 0, 2).reshape(T, rows, C * LANES)[..., :B]
+    return jnp.moveaxis(out, -1, 0).reshape((B, T) + shape)
+
+
+def seq_newton_trial_batched(ru, Q, R, M, fx, fu, XT,
+                             interpret: bool = False):
+    """Batched fused sequential Newton trial.
+
+    Shapes: ru (B,T,nu), Q (B,T,nx,nx), R (B,T,nu,nu), M (B,T,nx,nu),
+    fx (B,T,nx,nx), fu (B,T,nx,nu), XT (B,nx,nx).
+    Returns du (B,T,nu), dx (B,T+1,nx), pred (B,), ok (B,).
+    """
+    B, T, nx, nu = fu.shape
+    dtype = fu.dtype
+    Bp = _ceil_to(B, LANES)
+    C = Bp // LANES
+
+    XT_p = jnp.moveaxis(
+        jnp.pad(
+            jnp.moveaxis(XT.reshape(B, nx * nx), 0, -1), ((0, 0), (0, Bp - B))
+        ).reshape(nx * nx, C, LANES),
+        1, 0,
+    )
+    ins = (
+        _pack(ru, Bp), _pack(Q, Bp), _pack(R, Bp), _pack(M, Bp),
+        _pack(fx, Bp), _pack(fu, Bp), XT_p,
+    )
+    grid = (C,)
+
+    def stage_spec(rows, t_dim):
+        return pl.BlockSpec(
+            (1, t_dim, rows, LANES),
+            lambda b: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        stage_spec(nu, T), stage_spec(nx * nx, T), stage_spec(nu * nu, T),
+        stage_spec(nx * nu, T), stage_spec(nx * nx, T), stage_spec(nx * nu, T),
+        pl.BlockSpec((1, nx * nx, LANES), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = (
+        jax.ShapeDtypeStruct((C, T, nu, LANES), dtype),
+        jax.ShapeDtypeStruct((C, T + 1, nx, LANES), dtype),
+        jax.ShapeDtypeStruct((C, 1, 1, LANES), dtype),
+        jax.ShapeDtypeStruct((C, 1, 1, LANES), dtype),
+    )
+    out_specs = (
+        stage_spec(nu, T), stage_spec(nx, T + 1), stage_spec(1, 1),
+        stage_spec(1, 1),
+    )
+    kernel = functools.partial(_seq_trial_kernel, nx=nx, nu=nu, T=T)
+    # Trace the kernel in x32 mode regardless of the ambient jax_enable_x64
+    # setting: Mosaic's index/loop machinery requires i32 and the kernel's
+    # arithmetic is all f32 (inputs are f32 by gate).
+    with jax.enable_x64(False):
+        du_p, dx_p, dv_p, piv_p = pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((T, (1 + nx) * nu, LANES), dtype),
+            ],
+            interpret=interpret,
+        )(*ins)
+
+    du = _unpack(du_p, B, (nu,))
+    dx = _unpack(dx_p, B, (nx,))
+    pred = _unpack(dv_p, B, (1,))[:, 0, 0]
+    piv = _unpack(piv_p, B, (1,))[:, 0, 0]
+    ok = jnp.isfinite(piv) & (piv > 0) & jnp.isfinite(pred)
+    return du, dx, pred, ok
+
+
+# ---------------------------------------------------------------------------
+# Sequential costate recursion, batch in lanes (reference costates.py:43-54)
+# ---------------------------------------------------------------------------
+
+
+def _costate_kernel(cx_ref, fx_ref, lamT_ref, lam_o, *, nx, T):
+    """lam_k = cx_k + fx_k^T lam_{k+1}; lam_o holds (T+1, nx, LANES)."""
+    lam_T = lamT_ref[0]
+    lam_o[0, T] = lam_T
+
+    def step(i, lam):
+        t = jnp.int32(T - 1) - i
+        fxT = _transpose(fx_ref[0, t], nx, nx)
+        lam_new = cx_ref[0, t] + _mv(fxT, lam, nx, nx)
+        lam_o[0, t] = lam_new
+        return lam_new
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), step, lam_T)
+
+
+def seq_costates_batched(cx, fx, lam_T, interpret: bool = False):
+    """Batched sequential costate recursion: batch in lanes, one launch.
+
+    Shapes: cx (B,T,nx), fx (B,T,nx,nx), lam_T (B,nx) -> lams (B,T+1,nx).
+    Same output as parallel/costates.py seq_costates / par_costates.
+    """
+    B, T, nx = cx.shape
+    dtype = cx.dtype
+    Bp = _ceil_to(B, LANES)
+    C = Bp // LANES
+
+    lamT_p = jnp.moveaxis(
+        jnp.pad(jnp.moveaxis(lam_T, 0, -1), ((0, 0), (0, Bp - B))).reshape(
+            nx, C, LANES
+        ),
+        1, 0,
+    )
+    ins = (_pack(cx, Bp), _pack(fx, Bp), lamT_p)
+
+    def spec(rows, t_dim):
+        return pl.BlockSpec((1, t_dim, rows, LANES), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_costate_kernel, nx=nx, T=T)
+    with jax.enable_x64(False):
+        lam_p = pl.pallas_call(
+            kernel,
+            grid=(C,),
+            out_shape=jax.ShapeDtypeStruct((C, T + 1, nx, LANES), dtype),
+            in_specs=[
+                spec(nx, T), spec(nx * nx, T),
+                pl.BlockSpec((1, nx, LANES), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=spec(nx, T + 1),
+            interpret=interpret,
+        )(*ins)
+    return _unpack(lam_p, B, (nx,))
+
+
+@jax.custom_batching.custom_vmap
+def _seq_costates(cx, fx, lam_T):
+    return seq_costates_batched(cx[None], fx[None], lam_T[None])[0]
+
+
+def _broadcast_unbatched(axis_size, in_batched, args):
+    """Give unbatched args (e.g. a constant terminal Hessian) a batch axis."""
+    return tuple(
+        a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        for a, b in zip(args, in_batched)
+    )
+
+
+@_seq_costates.def_vmap
+def _seq_costates_vmap(axis_size, in_batched, cx, fx, lam_T):
+    cx, fx, lam_T = _broadcast_unbatched(axis_size, in_batched,
+                                         (cx, fx, lam_T))
+    return seq_costates_batched(cx, fx, lam_T), True
+
+
+def seq_costates_fused(cx, fx, lam_T):
+    """Fused sequential costate recursion (vmap -> one batched kernel)."""
+    return _seq_costates(cx, fx, lam_T)
+
+
+@jax.custom_batching.custom_vmap
+def _seq_newton(ru, Q, R, M, fx, fu, XT):
+    out = seq_newton_trial_batched(
+        ru[None], Q[None], R[None], M[None], fx[None], fu[None], XT[None]
+    )
+    return tuple(o[0] for o in out)
+
+
+@_seq_newton.def_vmap
+def _seq_newton_vmap(axis_size, in_batched, ru, Q, R, M, fx, fu, XT):
+    args = _broadcast_unbatched(axis_size, in_batched,
+                                (ru, Q, R, M, fx, fu, XT))
+    out = seq_newton_trial_batched(*args)
+    return out, (True,) * 4
+
+
+def seq_newton_trial(ru, Q, R, M, fx, fu, XT):
+    """One fused sequential Newton trial (vmap dispatches one batched kernel).
+
+    Same contract as newton_kernel.fused_newton_step: inputs are the Newton
+    stage data with R already regularized plus the terminal Hessian; returns
+    ``(du, dx, pred_reduction, feasible)`` for the step from zero deviation.
+    """
+    return _seq_newton(ru, Q, R, M, fx, fu, XT)

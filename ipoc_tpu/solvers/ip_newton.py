@@ -69,18 +69,85 @@ def _regularized(lin: LinearizedOCP, d: Derivatives, rp, scale_by_grad: bool,
     return LinearizedOCP(lin.r, lin.Q, R, lin.M)
 
 
+def _seq_trial_scan(lin_reg: LinearizedOCP, d: Derivatives, XT):
+    """Sequential Newton trial as reverse/forward ``lax.scan``s.
+
+    Pure-JAX fallback for the fused sequential kernel
+    (ops/pallas/seq_newton_kernel.py); identical recursion (reference
+    seq_interior_point_newton.py:42-90) with the terminal Hessian passed
+    explicitly.  Returns ``(du, dx, pred_reduction, feasible)``.
+    """
+
+    def step(carry, inp):
+        Vxx, Vx = carry
+        r, Q, R, M, fx, fu = inp
+        fxT, fuT = fx.T, fu.T
+        Vfx = Vxx @ fx
+        Vfu = Vxx @ fu
+        Qxx = Q + fxT @ Vfx
+        Quu = R + fuT @ Vfu
+        Qxu = M + fxT @ Vfu
+        Qu = r + fuT @ Vx
+        Qx = fxT @ Vx
+        convex = jnp.logical_and(linalg.is_posdef(Quu), linalg.is_posdef(R))
+        sol = linalg.cholesky_solve(
+            Quu, jnp.concatenate([Qu[:, None], Qxu.T], axis=1)
+        )
+        k = -sol[:, 0]
+        K = -sol[:, 1:]
+        Vx_new = Qx + Qxu @ k
+        Vxx_new = linalg.sym(Qxx + Qxu @ K)
+        dV = k @ Qu + 0.5 * k @ (Quu @ k)
+        return (Vxx_new, Vx_new), (K, k, dV, convex)
+
+    VxN = jnp.zeros((XT.shape[-1],), XT.dtype)
+    _, (K, k, dV, convex) = lax.scan(
+        step, (XT, VxN), (lin_reg.r, lin_reg.Q, lin_reg.R, lin_reg.M,
+                          d.fx, d.fu),
+        reverse=True,
+    )
+    du, dx = seq_fwd_newton(K, k, d)
+    return du, dx, jnp.sum(dV), jnp.all(convex)
+
+
+def _costates(ocp: OCP, x_last, d: Derivatives, cfg: SolverConfig):
+    """Costate recursion matched to the step evaluator: parallel-in-time
+    scan for ``newton_impl="par"``; for ``"seq"`` the sequential recursion
+    (fused batch-in-lanes kernel on TPU/f32, reverse scan elsewhere) —
+    identical values either way."""
+    if cfg.newton_impl == "seq":
+        from ipoc_tpu.ops.pallas import use_seq_newton
+
+        if use_seq_newton(d.cx.dtype, d.cx.shape[-1]):
+            from ipoc_tpu.ops.pallas.seq_newton_kernel import (
+                seq_costates_fused,
+            )
+
+            lam_T = jax.grad(ocp.final_cost)(x_last)
+            return seq_costates_fused(d.cx, d.fx, lam_T)
+        return seq_costates(ocp, x_last, d)
+    return par_costates(ocp, x_last, d)
+
+
 def par_newton_step(ocp: OCP, x, d: Derivatives, rp, lin: LinearizedOCP,
                     cfg: SolverConfig):
-    """One regularized parallel Newton trial step (reference par:107-124).
+    """One regularized Newton trial step (reference par:107-124).
 
     Returns ``(dx, du, pred_reduction, feasible, Hu)``; the forward pass
     starts from zero deviation, so (dx, du) are additive updates.
 
-    On TPU/f32 the whole trial runs as ONE fused Pallas kernel
-    (ops/pallas/newton_kernel.py); elsewhere it is the newton_lqt ->
-    par_bwd_pass -> par_fwd_pass pipeline.
+    Step evaluator (cfg.newton_impl):
+
+    * ``"par"`` — parallel-in-time, O(log T) span: on TPU/f32 the whole
+      trial runs as ONE fused Pallas kernel (ops/pallas/newton_kernel.py);
+      elsewhere it is the newton_lqt -> par_bwd_pass -> par_fwd_pass
+      pipeline.  The latency winner for single solves.
+    * ``"seq"`` — sequential-in-time, O(T) work: on TPU/f32 a fused
+      batch-in-lanes kernel (ops/pallas/seq_newton_kernel.py); elsewhere
+      reverse/forward scans.  The throughput winner for batched solves,
+      where the scenario batch (not the horizon) fills the VPU.
     """
-    from ipoc_tpu.ops.pallas import use_fused_newton
+    from ipoc_tpu.ops.pallas import use_fused_newton, use_seq_newton
 
     lin_reg = _regularized(
         lin, d, rp, cfg.scale_reg_by_grad, cfg.reg_scale_floor
@@ -89,6 +156,19 @@ def par_newton_step(ocp: OCP, x, d: Derivatives, rp, lin: LinearizedOCP,
         XT = lin.Q[0]  # reference quirk, par:74
     else:
         XT = hessian(ocp.final_cost)(x[-1])
+
+    if cfg.newton_impl == "seq":
+        if use_seq_newton(lin_reg.Q.dtype, lin_reg.Q.shape[-1]):
+            from ipoc_tpu.ops.pallas.seq_newton_kernel import seq_newton_trial
+
+            du, dx, pred_reduction, feasible = seq_newton_trial(
+                lin_reg.r, lin_reg.Q, lin_reg.R, lin_reg.M, d.fx, d.fu, XT
+            )
+        else:
+            du, dx, pred_reduction, feasible = _seq_trial_scan(
+                lin_reg, d, XT
+            )
+        return dx, du, pred_reduction, feasible, lin.r
 
     if use_fused_newton(lin_reg.Q.dtype, lin_reg.Q.shape[-1]):
         from ipoc_tpu.ops.pallas.newton_kernel import fused_newton_step
@@ -121,7 +201,7 @@ def _newton_stage_par(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
 
         cost = ocp.total_cost(x, u, bp)
         d = compute_derivatives(ocp, x, u, bp)
-        costates = par_costates(ocp, x[-1], d)
+        costates = _costates(ocp, x[-1], d, cfg)
         lin = compute_lqr_params(costates, d)
 
         def trial(inner):
@@ -181,9 +261,13 @@ def _newton_stage_par(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
         Hu_norm = jnp.where(stalled, jnp.asarray(jnp.nan, dtype), Hu_norm)
         return x, u, it + 1, rp, r_inc, Hu_norm
 
+    tol = jnp.maximum(
+        jnp.asarray(cfg.tol, dtype), cfg.stage_tol_scale * bp
+    )
+
     def newton_cond(val):
         _, _, it, _, _, Hu_norm = val
-        done = jnp.logical_or(Hu_norm < cfg.tol, it > cfg.max_newton_iters)
+        done = jnp.logical_or(Hu_norm < tol, it > cfg.max_newton_iters)
         # Non-finite gradient norm -> unrecoverable; stop (robustness guard).
         done = jnp.logical_or(done, jnp.logical_not(jnp.isfinite(Hu_norm)))
         return jnp.logical_not(done)
@@ -217,12 +301,15 @@ def _newton_stage_par_single(ocp: OCP, controls, initial_state, bp,
     start_ok = jnp.isfinite(ocp.total_cost(states, controls, bp))
     init_norm = jnp.where(start_ok, jnp.asarray(1.0, dtype),
                           jnp.asarray(jnp.nan, dtype))
+    tol = jnp.maximum(
+        jnp.asarray(cfg.tol, dtype), cfg.stage_tol_scale * bp
+    )
 
     def body(val):
         x, u, t, rp, r_inc, _ = val
         cost = ocp.total_cost(x, u, bp)
         d = compute_derivatives(ocp, x, u, bp)
-        costates = par_costates(ocp, x[-1], d)
+        costates = _costates(ocp, x[-1], d, cfg)
         lin = compute_lqr_params(costates, d)
         dx, du, pred, bwd_feasible, Hu = par_newton_step(
             ocp, x, d, rp, lin, cfg
@@ -256,7 +343,7 @@ def _newton_stage_par_single(ocp: OCP, controls, initial_state, bp,
 
     def cond(val):
         _, _, t, _, _, Hu_norm = val
-        done = jnp.logical_or(Hu_norm < cfg.tol, t > cfg.max_newton_iters)
+        done = jnp.logical_or(Hu_norm < tol, t > cfg.max_newton_iters)
         done = jnp.logical_or(done, jnp.logical_not(jnp.isfinite(Hu_norm)))
         return jnp.logical_not(done)
 
@@ -404,9 +491,13 @@ def _newton_stage_seq(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
         Hu_norm = jnp.where(stalled, jnp.asarray(jnp.nan, dtype), Hu_norm)
         return x, u, t + 1, mu, nu_, Hu_norm, bp_feasible
 
+    tol = jnp.maximum(
+        jnp.asarray(cfg.tol, dtype), cfg.stage_tol_scale * bp
+    )
+
     def cond(val):
         _, _, t, _, _, Hu_norm, bp_feasible = val
-        converged = jnp.logical_and(Hu_norm < cfg.tol, bp_feasible)
+        converged = jnp.logical_and(Hu_norm < tol, bp_feasible)
         # The reference seq solver has no cap (seq:157-161); we bound it,
         # and bail on non-finite gradients (robustness guard).
         stop = jnp.logical_or(converged, t >= cfg.max_newton_iters)

@@ -1,0 +1,130 @@
+"""Fused batched sequential Newton-trial kernel tests (interpreter mode).
+
+The sequential trial (ops/pallas/seq_newton_kernel.py and its pure-JAX
+fallback) must agree with the parallel LQT pipeline — same quadratic model,
+same stationary point, same predicted-reduction formula (reference
+seq_interior_point_newton.py:42-90 vs par_interior_point_newton.py:107-124).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ipoc_tpu
+from ipoc_tpu.models import cartpole, pendulum
+from ipoc_tpu.ops.derivatives import compute_derivatives, compute_lqr_params
+from ipoc_tpu.ops.pallas.seq_newton_kernel import seq_newton_trial_batched
+from ipoc_tpu.parallel.costates import par_costates
+from ipoc_tpu.parallel.lqt import newton_lqt, par_bwd_pass, par_fwd_pass
+from ipoc_tpu.solvers.ip_newton import _regularized, _seq_trial_scan
+from ipoc_tpu.utils.integrators import rollout
+
+
+def _stage_data(model, T, rp=1.0, bp=0.1, dtype=jnp.float32):
+    ocp = model.make_ocp(1.0 / T)
+    x0 = model.initial_state(dtype)
+    u0 = (0.1 * jax.random.normal(jax.random.PRNGKey(1), (T, 1))).astype(dtype)
+    X = rollout(ocp.dynamics, u0, x0)
+    d = compute_derivatives(ocp, X, u0, dtype(bp))
+    lam = par_costates(ocp, X[-1], d)
+    lin = compute_lqr_params(lam, d)
+    lin_reg = _regularized(lin, d, dtype(rp), True)
+    XT = jax.hessian(ocp.final_cost)(X[-1])
+    return ocp, d, lin_reg, XT
+
+
+@pytest.mark.parametrize("model,T,nx", [(cartpole, 40, 4), (pendulum, 60, 2)])
+def test_seq_trial_scan_matches_par_pipeline(model, T, nx):
+    """The pure-JAX sequential fallback == the parallel LQT pipeline (f64)."""
+    ocp, d, lin_reg, XT = _stage_data(model, T, dtype=jnp.float64)
+    lqt = newton_lqt(lin_reg, d, XT)
+    K, kff, _, _, pred_ref, feas_ref = par_bwd_pass(lqt)
+    du_ref, dx_ref = par_fwd_pass(lqt, jnp.zeros(nx, jnp.float64), K, kff)
+
+    du, dx, pred, ok = _seq_trial_scan(lin_reg, d, XT)
+    scale = float(jnp.abs(du_ref).max()) + 1e-9
+    np.testing.assert_allclose(du, du_ref, atol=1e-9 * scale)
+    np.testing.assert_allclose(dx, dx_ref, atol=1e-9 * scale)
+    np.testing.assert_allclose(float(pred), float(pred_ref), rtol=1e-9)
+    assert bool(ok) == bool(feas_ref)
+
+
+@pytest.mark.parametrize("model,T,nx", [(cartpole, 40, 4), (pendulum, 60, 2)])
+def test_seq_kernel_matches_scan(model, T, nx):
+    """The Pallas kernel (interpret) == the scan fallback, batched (f32)."""
+    _, d, lin_reg, XT = _stage_data(model, T, dtype=jnp.float32)
+    du_ref, dx_ref, pred_ref, ok_ref = _seq_trial_scan(lin_reg, d, XT)
+
+    B = 3
+    bat = lambda a: jnp.stack([a] * B)
+    du, dx, pred, ok = seq_newton_trial_batched(
+        bat(lin_reg.r), bat(lin_reg.Q), bat(lin_reg.R), bat(lin_reg.M),
+        bat(d.fx), bat(d.fu), bat(XT), interpret=True,
+    )
+    scale = float(jnp.abs(du_ref).max()) + 1e-6
+    for b in range(B):
+        np.testing.assert_allclose(du[b], du_ref, atol=2e-5 * scale)
+        np.testing.assert_allclose(dx[b], dx_ref, atol=2e-5 * scale)
+        np.testing.assert_allclose(float(pred[b]), float(pred_ref), rtol=1e-4)
+        assert bool(ok[b]) == bool(ok_ref)
+
+
+def test_seq_kernel_infeasible_flag():
+    """A negative-definite regularized control weight must trip ok=False."""
+    _, d, lin_reg, XT = _stage_data(cartpole, 24, dtype=jnp.float32)
+    R_bad = lin_reg.R - 1e3 * jnp.broadcast_to(
+        jnp.eye(1, dtype=jnp.float32), lin_reg.R.shape
+    )
+    bat = lambda a: a[None]
+    _, _, _, ok = seq_newton_trial_batched(
+        bat(lin_reg.r), bat(lin_reg.Q), bat(R_bad), bat(lin_reg.M),
+        bat(d.fx), bat(d.fu), bat(XT), interpret=True,
+    )
+    assert not bool(ok[0])
+
+
+def test_seq_costate_kernel_matches_scan():
+    """The fused costate kernel (interpret) == seq_costates, batched."""
+    from ipoc_tpu.ops.pallas.seq_newton_kernel import seq_costates_batched
+    from ipoc_tpu.parallel.costates import seq_costates
+
+    T = 33
+    ocp = cartpole.make_ocp(1.0 / T)
+    x0 = cartpole.initial_state(jnp.float32)
+    u0 = (0.1 * jax.random.normal(jax.random.PRNGKey(2), (T, 1))).astype(
+        jnp.float32
+    )
+    X = rollout(ocp.dynamics, u0, x0)
+    d = compute_derivatives(ocp, X, u0, jnp.float32(0.1))
+    lam_ref = seq_costates(ocp, X[-1], d)
+
+    lam_T = jax.grad(ocp.final_cost)(X[-1])
+    B = 2
+    bat = lambda a: jnp.stack([a] * B)
+    lam = seq_costates_batched(bat(d.cx), bat(d.fx), bat(lam_T),
+                               interpret=True)
+    scale = float(jnp.abs(lam_ref).max()) + 1e-6
+    for b in range(B):
+        np.testing.assert_allclose(lam[b], lam_ref, atol=1e-5 * scale)
+
+
+def test_solver_newton_impl_seq_agrees():
+    """Full IP solve with newton_impl='seq' matches the default 'par' path."""
+    ocp = pendulum.make_ocp(1.0 / 60)
+    x0 = pendulum.initial_state(jnp.float64)
+    u0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (60, 1))
+    cfg_par = ipoc_tpu.FAST_CONFIG
+    cfg_seq = cfg_par.replace(newton_impl="seq")
+    u_par, it_par = jax.jit(
+        lambda u, x: ipoc_tpu.par_interior_point_optimal_control(
+            ocp, u, x, cfg_par
+        )
+    )(u0, x0)
+    u_seq, it_seq = jax.jit(
+        lambda u, x: ipoc_tpu.par_interior_point_optimal_control(
+            ocp, u, x, cfg_seq
+        )
+    )(u0, x0)
+    np.testing.assert_allclose(u_seq, u_par, atol=2e-3)
+    assert int(it_seq) > 0
