@@ -116,15 +116,20 @@ def _costates(ocp: OCP, x_last, d: Derivatives, cfg: SolverConfig):
     (fused batch-in-lanes kernel on TPU/f32, reverse scan elsewhere) —
     identical values either way."""
     if cfg.newton_impl == "seq":
-        from ipoc_tpu.ops.pallas import use_seq_newton
+        from ipoc_tpu.ops.pallas import use_pallas_scans, use_seq_newton
 
-        if use_seq_newton(d.cx.dtype, d.cx.shape[-1]):
+        if use_seq_newton(d.cx.dtype, d.cx.shape[-1],
+                          horizon=d.cx.shape[0], nu=d.cu.shape[-1]):
             from ipoc_tpu.ops.pallas.seq_newton_kernel import (
                 seq_costates_fused,
             )
 
             lam_T = jax.grad(ocp.final_cost)(x_last)
             return seq_costates_fused(d.cx, d.fx, lam_T)
+        if use_pallas_scans(d.cx.dtype, d.cx.shape[-1]):
+            # On TPU with a horizon past the seq kernel's VMEM budget: the
+            # parallel scan kernel is the fast evaluator.
+            return par_costates(ocp, x_last, d)
         return seq_costates(ocp, x_last, d)
     return par_costates(ocp, x_last, d)
 
@@ -147,7 +152,11 @@ def par_newton_step(ocp: OCP, x, d: Derivatives, rp, lin: LinearizedOCP,
       reverse/forward scans.  The throughput winner for batched solves,
       where the scenario batch (not the horizon) fills the VPU.
     """
-    from ipoc_tpu.ops.pallas import use_fused_newton, use_seq_newton
+    from ipoc_tpu.ops.pallas import (
+        use_fused_newton,
+        use_pallas_scans,
+        use_seq_newton,
+    )
 
     lin_reg = _regularized(
         lin, d, rp, cfg.scale_reg_by_grad, cfg.reg_scale_floor
@@ -158,17 +167,24 @@ def par_newton_step(ocp: OCP, x, d: Derivatives, rp, lin: LinearizedOCP,
         XT = hessian(ocp.final_cost)(x[-1])
 
     if cfg.newton_impl == "seq":
-        if use_seq_newton(lin_reg.Q.dtype, lin_reg.Q.shape[-1]):
+        if use_seq_newton(lin_reg.Q.dtype, lin_reg.Q.shape[-1],
+                          horizon=lin_reg.Q.shape[0],
+                          nu=lin_reg.R.shape[-1]):
             from ipoc_tpu.ops.pallas.seq_newton_kernel import seq_newton_trial
 
             du, dx, pred_reduction, feasible = seq_newton_trial(
                 lin_reg.r, lin_reg.Q, lin_reg.R, lin_reg.M, d.fx, d.fu, XT
             )
-        else:
+            return dx, du, pred_reduction, feasible, lin.r
+        if not use_pallas_scans(lin_reg.Q.dtype, lin_reg.Q.shape[-1]):
+            # Off-TPU (tests, fallback): plain reverse/forward scans.
             du, dx, pred_reduction, feasible = _seq_trial_scan(
                 lin_reg, d, XT
             )
-        return dx, du, pred_reduction, feasible, lin.r
+            return dx, du, pred_reduction, feasible, lin.r
+        # On TPU but the horizon's stage data exceeds the seq kernel's VMEM
+        # budget: fall through to the parallel-in-time kernels (which tile
+        # the horizon over lanes and stream fine at any T).
 
     if use_fused_newton(lin_reg.Q.dtype, lin_reg.Q.shape[-1]):
         from ipoc_tpu.ops.pallas.newton_kernel import fused_newton_step
