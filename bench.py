@@ -61,6 +61,8 @@ def main():
         state_scale=0.01, control_scale=0.1, dtype=jnp.float32,
     )
     cfg = ipoc_tpu.BATCH_CONFIG
+    if os.environ.get("IPOC_BENCH_BARRIER"):
+        cfg = cfg.replace(barrier_mode=os.environ["IPOC_BENCH_BARRIER"])
 
     step = jax.jit(lambda u, x: solve_batch(ocp, u, x, cfg))
 

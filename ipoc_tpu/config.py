@@ -79,6 +79,21 @@ class SolverConfig:
     #              batched throughput.
     globalization: str = "retry"
 
+    # Barrier-schedule structure:
+    #   "staged" — reference semantics (par:228-254): an outer while_loop
+    #              over barrier stages, each stage an inner Newton loop.
+    #              Under vmap every lane waits for the batch's slowest lane
+    #              AT EVERY STAGE — the lockstep cost is
+    #              sum_stages max_lanes(stage iterations).
+    #   "flat"   — ONE while_loop carrying a per-lane barrier parameter that
+    #              decays in-loop when that lane's stage converges.  Identical
+    #              per-lane iterate sequence (same trials, same reg resets,
+    #              same stage tolerances), but lanes advance through stages
+    #              independently, so the lockstep cost drops to
+    #              max_lanes(total iterations).  Requires
+    #              globalization="single".
+    barrier_mode: str = "staged"
+
     # Newton-step evaluator for the parallel entry point:
     #   "par" — parallel-in-time LQT scans (O(log T) span; reference
     #           semantics, the latency winner for single solves).

@@ -34,25 +34,16 @@ def use_pallas_scans(dtype, n: int) -> bool:
 
 def use_seq_newton(dtype, n: int, horizon: int | None = None,
                    nu: int | None = None) -> bool:
-    """Gate for the batched sequential Newton-trial kernel (batch in lanes).
+    """Gate for the fused sequential Newton-trial kernels (batch in lanes).
 
     Same eligibility as the scan kernels; selected by
     ``SolverConfig.newton_impl == "seq"`` (the batched-throughput path).
-    The whole horizon's stage data lives in VMEM (~16 MB/core), which caps
-    the horizon; beyond it the caller falls back to the parallel-in-time
-    pipeline (which streams in O(log T) rounds over 128-lane tiles).
+    There is no horizon cap: horizons whose stage data exceeds the resident
+    kernel's VMEM budget dispatch to the T-streamed variant instead
+    (seq_newton_kernel.py, ``_pick_kernel``).  ``horizon``/``nu`` are kept
+    for signature compatibility.
     """
-    if horizon is not None:
-        m = n if nu is None else nu
-        # Stage rows (ru, Q, R, M, fx, fu), each sublane-padded to 8.
-        pad8 = lambda r: -(-r // 8) * 8
-        rows = (
-            pad8(m) + pad8(n * n) + pad8(m * m) + 2 * pad8(n * m)
-            + pad8(n * n)
-        )
-        vmem_bytes = rows * horizon * 128 * 4
-        if vmem_bytes > 10 * 1024 * 1024:  # leave room for outputs/scratch
-            return False
+    del horizon, nu
     return use_pallas_scans(dtype, n)
 
 

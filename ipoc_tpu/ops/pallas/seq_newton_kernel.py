@@ -219,6 +219,231 @@ def _seq_trial_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref, XT_ref,
 
 
 # ---------------------------------------------------------------------------
+# Streamed, sublane-packed variant: batch fills full (S=8, 128) vregs, the
+# horizon streams through the grid.
+#
+# The kernel above keeps the whole horizon's stage data resident in VMEM and
+# puts ONE batch row in each 128-lane vector — every VPU op uses 1 of 8
+# sublanes.  Here each matrix entry is a full (8, 128) tile (1024 scenarios
+# per grid column) and the time axis is a grid dimension: stage t's blocks
+# are DMA-pipelined while stage t+1 computes, and the Riccati carry
+# (Vxx, Vx, dV, minpiv) lives in VMEM scratch that persists across grid
+# steps (TPU grids run sequentially).  Per-step state is tiny, so there is
+# no horizon cap.  Backward and forward passes are two launches (the
+# forward needs the gains in ascending order; they are staged through HBM).
+# ---------------------------------------------------------------------------
+
+SUBLANES = 8
+
+
+def _seq_bwd_stream_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref,
+                           XT_ref, Kk_o, dv_o, piv_o,
+                           Vxx_s, Vx_s, dv_s, piv_s, *, nx, nu, T):
+    """One Riccati stage per grid step, t streamed newest-to-oldest.
+
+    Refs: stage inputs (1, 1, rows, S, LANES) at reversed time index;
+    XT (1, rows, S, LANES); Kk_o (1, 1, (1+nx)*nu, S, LANES); dv/piv
+    (1, 1, S, LANES).  Scratch carries the value function between steps.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        Vxx_s[:] = XT_ref[0]
+        Vx_s[:] = jnp.zeros_like(Vx_s)
+        dv_s[:] = jnp.zeros_like(dv_s)
+        piv_s[:] = jnp.full_like(piv_s, jnp.inf)
+
+    Vxx = Vxx_s[:]
+    Vx = Vx_s[:]
+    ru = ru_ref[0, 0]
+    Q = Q_ref[0, 0]
+    R = R_ref[0, 0]
+    M = M_ref[0, 0]
+    fx = fx_ref[0, 0]
+    fu = fu_ref[0, 0]
+    fxT = _transpose(fx, nx, nx)
+    fuT = _transpose(fu, nx, nu)
+
+    Vfx = _mm(Vxx, fx, nx, nx, nx)
+    Vfu = _mm(Vxx, fu, nx, nx, nu)
+    Qxx = Q + _mm(fxT, Vfx, nx, nx, nx)
+    Quu = R + _mm(fuT, Vfu, nu, nx, nu)
+    Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
+    Qu = ru + _mv(fuT, Vx, nu, nx)
+    Qx = _mv(fxT, Vx, nx, nx)
+
+    rhs = jnp.concatenate([Qu, _transpose(Qxu, nx, nu)], axis=0)
+    sol, piv = _solve_track(Quu, rhs, nu, 1 + nx)
+    k = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)], axis=0)
+    K = -jnp.stack(
+        [sol[i_ * (1 + nx) + 1 + j] for i_ in range(nu) for j in range(nx)],
+        axis=0,
+    )
+    piv = jnp.minimum(piv, _pivots_only(R, nu))
+
+    Kk_o[0, 0] = jnp.concatenate([k, K], axis=0)
+    Vx_s[:] = Qx + _mv(Qxu, k, nx, nu)
+    Vxx_s[:] = Qxx + _mm(Qxu, K, nx, nu, nx)
+    dv_s[:] = dv_s[:] + (
+        _dot(k, Qu, nu) + 0.5 * _dot(k, _mv(Quu, k, nu, nu), nu)
+    )[None]
+    piv_s[:] = jnp.minimum(piv_s[:], piv[None])
+
+    @pl.when(t == T - 1)
+    def _():
+        dv_o[0, 0] = dv_s[0]
+        piv_o[0, 0] = piv_s[0]
+
+
+def _seq_fwd_stream_kernel(Kk_ref, fx_ref, fu_ref, du_o, dx_o, dx_s,
+                           *, nx, nu, T):
+    """Closed-loop deviation rollout, t streamed oldest-to-newest.
+
+    dx_o holds dx_1..dx_T (the caller prepends dx_0 = 0).
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dx_s[:] = jnp.zeros_like(dx_s)
+
+    dx = dx_s[:]
+    Kk = Kk_ref[0, 0]
+    k = Kk[0:nu]
+    K = Kk[nu:]
+    fx = fx_ref[0, 0]
+    fu = fu_ref[0, 0]
+    du = k + _mv(K, dx, nu, nx)
+    dx_next = _mv(fx, dx, nx, nx) + _mv(fu, du, nx, nu)
+    du_o[0, 0] = du
+    dx_o[0, 0] = dx_next
+    dx_s[:] = dx_next
+
+
+def _pack_s(M, Bp, S):
+    """(B, T, ...) -> (Bp//(S*LANES), T, prod(...), S, LANES)."""
+    B, T = M.shape[:2]
+    rows = 1
+    for d in M.shape[2:]:
+        rows *= d
+    out = jnp.moveaxis(M.reshape(B, T, rows), 0, -1)  # (T, rows, B)
+    out = jnp.pad(out, ((0, 0), (0, 0), (0, Bp - B)))
+    return jnp.moveaxis(
+        out.reshape(T, rows, Bp // (S * LANES), S, LANES), 2, 0
+    )
+
+
+def _unpack_s(R, B, shape):
+    """(C, T, rows, S, LANES) -> (B, T, *shape)."""
+    C, T, rows, S, _ = R.shape
+    out = jnp.moveaxis(R, 0, 2).reshape(T, rows, C * S * LANES)[..., :B]
+    return jnp.moveaxis(out, -1, 0).reshape((B, T) + shape)
+
+
+def seq_newton_trial_streamed(ru, Q, R, M, fx, fu, XT, sublanes: int = SUBLANES,
+                              interpret: bool = False):
+    """Batched fused sequential Newton trial, sublane-packed + T-streamed.
+
+    Same contract as :func:`seq_newton_trial_batched`; preferred when the
+    batch fills at least one (sublanes x 128) tile.
+    """
+    B, T, nx, nu = fu.shape
+    dtype = fu.dtype
+    S = sublanes
+    chunk = S * LANES
+    Bp = _ceil_to(B, chunk)
+    C = Bp // chunk
+
+    XT_p = jnp.moveaxis(
+        jnp.pad(
+            jnp.moveaxis(XT.reshape(B, nx * nx), 0, -1), ((0, 0), (0, Bp - B))
+        ).reshape(nx * nx, C, S, LANES),
+        1, 0,
+    )
+    ins = (
+        _pack_s(ru, Bp, S), _pack_s(Q, Bp, S), _pack_s(R, Bp, S),
+        _pack_s(M, Bp, S), _pack_s(fx, Bp, S), _pack_s(fu, Bp, S), XT_p,
+    )
+
+    def rev_spec(rows):
+        return pl.BlockSpec(
+            (1, 1, rows, S, LANES),
+            lambda b, t: (b, T - 1 - t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def fwd_spec(rows):
+        return pl.BlockSpec(
+            (1, 1, rows, S, LANES),
+            lambda b, t: (b, t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def bcast_spec(rows):
+        return pl.BlockSpec((1, rows, S, LANES), lambda b, t: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    bwd_kernel = functools.partial(_seq_bwd_stream_kernel, nx=nx, nu=nu, T=T)
+    ng = (1 + nx) * nu
+    with jax.enable_x64(False):
+        Kk, dv_p, piv_p = pl.pallas_call(
+            bwd_kernel,
+            grid=(C, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((C, T, ng, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+            ),
+            in_specs=[
+                rev_spec(nu), rev_spec(nx * nx), rev_spec(nu * nu),
+                rev_spec(nx * nu), rev_spec(nx * nx), rev_spec(nx * nu),
+                bcast_spec(nx * nx),
+            ],
+            out_specs=(
+                rev_spec(ng),
+                pl.BlockSpec((1, 1, S, LANES), lambda b, t: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, S, LANES), lambda b, t: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nx * nx, S, LANES), dtype),
+                pltpu.VMEM((nx, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+            ],
+            interpret=interpret,
+        )(*ins)
+
+        fwd_kernel = functools.partial(
+            _seq_fwd_stream_kernel, nx=nx, nu=nu, T=T
+        )
+        du_p, dx_p = pl.pallas_call(
+            fwd_kernel,
+            grid=(C, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((C, T, nu, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
+            ),
+            in_specs=[fwd_spec(ng), fwd_spec(nx * nx), fwd_spec(nx * nu)],
+            out_specs=(fwd_spec(nu), fwd_spec(nx)),
+            scratch_shapes=[pltpu.VMEM((nx, S, LANES), dtype)],
+            interpret=interpret,
+        )(Kk, ins[4], ins[5])
+
+    du = _unpack_s(du_p, B, (nu,))
+    dx_tail = _unpack_s(dx_p, B, (nx,))
+    dx = jnp.concatenate(
+        [jnp.zeros((B, 1, nx), dtype), dx_tail], axis=1
+    )
+    pred = _unpack_s(dv_p[:, None], B, (1,))[:, 0, 0]
+    piv = _unpack_s(piv_p[:, None], B, (1,))[:, 0, 0]
+    ok = jnp.isfinite(piv) & (piv > 0) & jnp.isfinite(pred)
+    return du, dx, pred, ok
+
+
+# ---------------------------------------------------------------------------
 # Host wrappers: pack (B, T, n, m) -> (B/128, T, n*m, 128), grid over batch
 # chunks of 128 lanes; blocks cover the full (rows, 128) tile.
 # ---------------------------------------------------------------------------
@@ -375,9 +600,108 @@ def seq_costates_batched(cx, fx, lam_T, interpret: bool = False):
     return _unpack(lam_p, B, (nx,))
 
 
+def _costate_stream_kernel(cx_ref, fx_ref, lamT_ref, lam_o, lam_s, *, nx, T):
+    """Streamed costate recursion: one stage per grid step, t reversed."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        lam_s[:] = lamT_ref[0]
+
+    fxT = _transpose(fx_ref[0, 0], nx, nx)
+    lam_new = cx_ref[0, 0] + _mv(fxT, lam_s[:], nx, nx)
+    lam_o[0, 0] = lam_new
+    lam_s[:] = lam_new
+
+
+def seq_costates_streamed(cx, fx, lam_T, sublanes: int = SUBLANES,
+                          interpret: bool = False):
+    """Sublane-packed, T-streamed costate recursion (contract of
+    :func:`seq_costates_batched`)."""
+    B, T, nx = cx.shape
+    dtype = cx.dtype
+    S = sublanes
+    chunk = S * LANES
+    Bp = _ceil_to(B, chunk)
+    C = Bp // chunk
+
+    lamT_p = jnp.moveaxis(
+        jnp.pad(jnp.moveaxis(lam_T, 0, -1), ((0, 0), (0, Bp - B))).reshape(
+            nx, C, S, LANES
+        ),
+        1, 0,
+    )
+    ins = (_pack_s(cx, Bp, S), _pack_s(fx, Bp, S), lamT_p)
+
+    def rev_spec(rows):
+        return pl.BlockSpec(
+            (1, 1, rows, S, LANES),
+            lambda b, t: (b, T - 1 - t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(_costate_stream_kernel, nx=nx, T=T)
+    with jax.enable_x64(False):
+        lam_p = pl.pallas_call(
+            kernel,
+            grid=(C, T),
+            out_shape=jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
+            in_specs=[
+                rev_spec(nx), rev_spec(nx * nx),
+                pl.BlockSpec((1, nx, S, LANES), lambda b, t: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=rev_spec(nx),
+            scratch_shapes=[pltpu.VMEM((nx, S, LANES), dtype)],
+            interpret=interpret,
+        )(*ins)
+    lam_head = _unpack_s(lam_p, B, (nx,))
+    return jnp.concatenate([lam_head, lam_T[:, None]], axis=1)
+
+
+def _stream_sublanes(axis_size: int):
+    """Pick the streamed kernels' sublane packing for a batch size.
+
+    Returns 0 when the batch is too small to fill multi-sublane tiles (the
+    whole-horizon-in-VMEM kernel with batch-in-lanes wins there).
+    """
+    s = axis_size // LANES
+    for cand in (8, 4, 2):
+        if s >= cand:
+            return cand
+    return 0
+
+
+def resident_kernel_vmem_ok(horizon: int, nx: int, nu: int) -> bool:
+    """Whether the whole-horizon-in-VMEM kernel's stage data fits VMEM.
+
+    Each input row is sublane-padded to 8; budget leaves room for outputs,
+    scratch, and the pipeline's double buffering.  Past this the streamed
+    kernel (no horizon cap) takes over.
+    """
+    pad8 = lambda r: -(-r // 8) * 8
+    rows = (
+        pad8(nu) + pad8(nx * nx) + pad8(nu * nu) + 2 * pad8(nx * nu)
+        + pad8(nx * nx)
+    )
+    return rows * horizon * LANES * 4 <= 10 * 1024 * 1024
+
+
+def _pick_kernel(axis_size: int, horizon: int, nx: int, nu: int) -> int:
+    """Sublane count for the streamed kernels, or 0 for the resident one."""
+    S = _stream_sublanes(axis_size)
+    if S == 0 and not resident_kernel_vmem_ok(horizon, nx, nu):
+        S = 1  # long horizon: stream T through the grid, single-sublane rows
+    return S
+
+
 @jax.custom_batching.custom_vmap
 def _seq_costates(cx, fx, lam_T):
-    return seq_costates_batched(cx[None], fx[None], lam_T[None])[0]
+    T, nx = cx.shape
+    if resident_kernel_vmem_ok(T, nx, 1):
+        return seq_costates_batched(cx[None], fx[None], lam_T[None])[0]
+    return seq_costates_streamed(cx[None], fx[None], lam_T[None],
+                                 sublanes=1)[0]
 
 
 def _broadcast_unbatched(axis_size, in_batched, args):
@@ -392,6 +716,10 @@ def _broadcast_unbatched(axis_size, in_batched, args):
 def _seq_costates_vmap(axis_size, in_batched, cx, fx, lam_T):
     cx, fx, lam_T = _broadcast_unbatched(axis_size, in_batched,
                                          (cx, fx, lam_T))
+    T, nx = cx.shape[1:]
+    S = _pick_kernel(axis_size, T, nx, 1)
+    if S:
+        return seq_costates_streamed(cx, fx, lam_T, sublanes=S), True
     return seq_costates_batched(cx, fx, lam_T), True
 
 
@@ -402,9 +730,14 @@ def seq_costates_fused(cx, fx, lam_T):
 
 @jax.custom_batching.custom_vmap
 def _seq_newton(ru, Q, R, M, fx, fu, XT):
-    out = seq_newton_trial_batched(
-        ru[None], Q[None], R[None], M[None], fx[None], fu[None], XT[None]
+    T, nx, nu = fu.shape
+    fn = (
+        seq_newton_trial_batched
+        if resident_kernel_vmem_ok(T, nx, nu)
+        else functools.partial(seq_newton_trial_streamed, sublanes=1)
     )
+    out = fn(ru[None], Q[None], R[None], M[None], fx[None], fu[None],
+             XT[None])
     return tuple(o[0] for o in out)
 
 
@@ -412,8 +745,11 @@ def _seq_newton(ru, Q, R, M, fx, fu, XT):
 def _seq_newton_vmap(axis_size, in_batched, ru, Q, R, M, fx, fu, XT):
     args = _broadcast_unbatched(axis_size, in_batched,
                                 (ru, Q, R, M, fx, fu, XT))
-    out = seq_newton_trial_batched(*args)
-    return out, (True,) * 4
+    T, nx, nu = args[5].shape[1:]
+    S = _pick_kernel(axis_size, T, nx, nu)
+    if S:
+        return seq_newton_trial_streamed(*args, sublanes=S), (True,) * 4
+    return seq_newton_trial_batched(*args), (True,) * 4
 
 
 def seq_newton_trial(ru, Q, R, M, fx, fu, XT):

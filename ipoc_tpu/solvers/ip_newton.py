@@ -116,20 +116,15 @@ def _costates(ocp: OCP, x_last, d: Derivatives, cfg: SolverConfig):
     (fused batch-in-lanes kernel on TPU/f32, reverse scan elsewhere) —
     identical values either way."""
     if cfg.newton_impl == "seq":
-        from ipoc_tpu.ops.pallas import use_pallas_scans, use_seq_newton
+        from ipoc_tpu.ops.pallas import use_seq_newton
 
-        if use_seq_newton(d.cx.dtype, d.cx.shape[-1],
-                          horizon=d.cx.shape[0], nu=d.cu.shape[-1]):
+        if use_seq_newton(d.cx.dtype, d.cx.shape[-1]):
             from ipoc_tpu.ops.pallas.seq_newton_kernel import (
                 seq_costates_fused,
             )
 
             lam_T = jax.grad(ocp.final_cost)(x_last)
             return seq_costates_fused(d.cx, d.fx, lam_T)
-        if use_pallas_scans(d.cx.dtype, d.cx.shape[-1]):
-            # On TPU with a horizon past the seq kernel's VMEM budget: the
-            # parallel scan kernel is the fast evaluator.
-            return par_costates(ocp, x_last, d)
         return seq_costates(ocp, x_last, d)
     return par_costates(ocp, x_last, d)
 
@@ -152,11 +147,7 @@ def par_newton_step(ocp: OCP, x, d: Derivatives, rp, lin: LinearizedOCP,
       reverse/forward scans.  The throughput winner for batched solves,
       where the scenario batch (not the horizon) fills the VPU.
     """
-    from ipoc_tpu.ops.pallas import (
-        use_fused_newton,
-        use_pallas_scans,
-        use_seq_newton,
-    )
+    from ipoc_tpu.ops.pallas import use_fused_newton, use_seq_newton
 
     lin_reg = _regularized(
         lin, d, rp, cfg.scale_reg_by_grad, cfg.reg_scale_floor
@@ -167,24 +158,16 @@ def par_newton_step(ocp: OCP, x, d: Derivatives, rp, lin: LinearizedOCP,
         XT = hessian(ocp.final_cost)(x[-1])
 
     if cfg.newton_impl == "seq":
-        if use_seq_newton(lin_reg.Q.dtype, lin_reg.Q.shape[-1],
-                          horizon=lin_reg.Q.shape[0],
-                          nu=lin_reg.R.shape[-1]):
+        if use_seq_newton(lin_reg.Q.dtype, lin_reg.Q.shape[-1]):
             from ipoc_tpu.ops.pallas.seq_newton_kernel import seq_newton_trial
 
             du, dx, pred_reduction, feasible = seq_newton_trial(
                 lin_reg.r, lin_reg.Q, lin_reg.R, lin_reg.M, d.fx, d.fu, XT
             )
             return dx, du, pred_reduction, feasible, lin.r
-        if not use_pallas_scans(lin_reg.Q.dtype, lin_reg.Q.shape[-1]):
-            # Off-TPU (tests, fallback): plain reverse/forward scans.
-            du, dx, pred_reduction, feasible = _seq_trial_scan(
-                lin_reg, d, XT
-            )
-            return dx, du, pred_reduction, feasible, lin.r
-        # On TPU but the horizon's stage data exceeds the seq kernel's VMEM
-        # budget: fall through to the parallel-in-time kernels (which tile
-        # the horizon over lanes and stream fine at any T).
+        # Off-TPU (tests, fallback): plain reverse/forward scans.
+        du, dx, pred_reduction, feasible = _seq_trial_scan(lin_reg, d, XT)
+        return dx, du, pred_reduction, feasible, lin.r
 
     if use_fused_newton(lin_reg.Q.dtype, lin_reg.Q.shape[-1]):
         from ipoc_tpu.ops.pallas.newton_kernel import fused_newton_step
@@ -378,6 +361,124 @@ def _newton_stage_par_single(ocp: OCP, controls, initial_state, bp,
     return x, u, iters
 
 
+def _n_barrier_stages(cfg: SolverConfig) -> int:
+    """Number of barrier stages the staged driver runs (par:228-254)."""
+    n, bp = 0, cfg.bp_init
+    while bp > cfg.bp_min:
+        n += 1
+        bp /= cfg.bp_decay
+    return n
+
+
+def _newton_flat_single(ocp: OCP, controls, initial_state, cfg: SolverConfig):
+    """Whole IP solve as ONE while_loop: the barrier parameter is per-lane
+    loop state (cfg.barrier_mode="flat").
+
+    Per lane this replays exactly the staged single-trial solve
+    (:func:`_newton_stage_par_single` under :func:`barrier_loop`): the same
+    trial sequence, the same per-stage regularization resets, the same
+    rollout at each stage start, the same stage tolerances.  The payoff is
+    under ``vmap``: stage transitions no longer synchronize across lanes, so
+    a batch pays ``max_lanes(total iterations)`` in lockstep instead of
+    ``sum_stages max_lanes(stage iterations)`` — a pure tail-latency win for
+    the batched-throughput path (docs/PERFORMANCE.md).
+
+    One (documented) deviation: a lane whose cost/gradient goes non-finite
+    is retired immediately instead of burning one no-op stage per remaining
+    barrier value as the staged driver does.
+    """
+    dtype = controls.dtype
+    x0_traj = rollout(ocp.dynamics, controls, initial_state)
+    total_cap = jnp.asarray(
+        _n_barrier_stages(cfg) * (cfg.max_newton_iters + 1), jnp.int32
+    )
+
+    def body(val):
+        x, u, it, stage_it, rp, r_inc, bp, done = val
+        cost = ocp.total_cost(x, u, bp)
+        d = compute_derivatives(ocp, x, u, bp)
+        costates = _costates(ocp, x[-1], d, cfg)
+        lin = compute_lqr_params(costates, d)
+        dx, du, pred, bwd_feasible, Hu = par_newton_step(
+            ocp, x, d, rp, lin, cfg
+        )
+        Hu_norm = jnp.max(jnp.abs(Hu))
+        temp_x = x + dx
+        temp_u = u + du
+        new_cost = jnp.where(
+            check_feasibility(ocp, temp_x, temp_u),
+            ocp.total_cost(temp_x, temp_u, bp),
+            jnp.inf,
+        )
+        rho = gain_ratio(new_cost, cost, pred)
+        accept = jnp.logical_and(rho > 0.0, bwd_feasible)
+        stalled = jnp.logical_and(
+            jnp.logical_not(accept), rp >= cfg.reg_max
+        ) & bool(cfg.stall_exit)
+        rp, r_inc = lm_update(rp, r_inc, rho, accept, cfg)
+        x = jnp.where(accept, temp_x, x)
+        u = jnp.where(accept, temp_u, u)
+
+        tol_s = jnp.maximum(jnp.asarray(cfg.tol, dtype),
+                            cfg.stage_tol_scale * bp)
+        conv = Hu_norm < tol_s
+        if cfg.pred_floor > 0.0:
+            conv = jnp.logical_or(
+                conv,
+                jnp.logical_and(
+                    bwd_feasible,
+                    jnp.abs(pred) < cfg.pred_floor * (1.0 + jnp.abs(cost)),
+                ),
+            )
+        bad = jnp.logical_or(
+            jnp.logical_not(jnp.isfinite(Hu_norm)),
+            jnp.logical_not(jnp.isfinite(cost)),
+        )
+        # Stage ends on convergence, stall, or the per-stage iteration cap
+        # (staged parity: _newton_stage_par_single runs while t <= cap).
+        advance = jnp.logical_or(
+            jnp.logical_or(conv, stalled), stage_it + 1 > cfg.max_newton_iters
+        )
+        advance = jnp.logical_and(advance, jnp.logical_not(bad))
+        bp_next = bp / cfg.bp_decay
+        done_now = jnp.logical_or(
+            bad, jnp.logical_and(advance, bp_next <= cfg.bp_min)
+        )
+        # Stage transition: decay bp, reset the LM state, re-rollout the
+        # nonlinear trajectory from the warm-started controls (staged parity:
+        # each stage opens with `rollout`, par:133).
+        roll = jnp.logical_and(advance, jnp.logical_not(done_now))
+        x = jnp.where(roll, rollout(ocp.dynamics, u, initial_state), x)
+        bp = jnp.where(advance, bp_next, bp)
+        rp = jnp.where(advance, jnp.asarray(cfg.reg_init, dtype), rp)
+        r_inc = jnp.where(advance, jnp.asarray(cfg.reg_inc_init, dtype), r_inc)
+        stage_it = jnp.where(advance, jnp.asarray(0, jnp.int32), stage_it + 1)
+        return x, u, it + 1, stage_it, rp, r_inc, bp, jnp.logical_or(done, done_now)
+
+    def cond(val):
+        _, _, it, _, _, _, _, done = val
+        return jnp.logical_and(jnp.logical_not(done), it < total_cap)
+
+    start_ok = jnp.isfinite(
+        ocp.total_cost(x0_traj, controls, jnp.asarray(cfg.bp_init, dtype))
+    )
+    _, u, iters, _, _, _, _, _ = lax.while_loop(
+        cond,
+        body,
+        (
+            x0_traj,
+            controls,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(cfg.reg_init, dtype),
+            jnp.asarray(cfg.reg_inc_init, dtype),
+            jnp.asarray(cfg.bp_init, dtype),
+            jnp.logical_not(start_ok),
+        ),
+    )
+    return u, iters
+
+
 def par_interior_point_optimal_control(
     ocp: OCP, controls, initial_state, cfg: SolverConfig = DEFAULT_CONFIG
 ):
@@ -387,6 +488,14 @@ def par_interior_point_optimal_control(
     (par_interior_point_newton.py:228-254): returns
     ``(optimal_controls, total_newton_iterations)``.
     """
+    if cfg.barrier_mode == "flat":
+        if cfg.globalization != "single":
+            raise ValueError(
+                "barrier_mode='flat' requires globalization='single' "
+                "(the retry loop is itself a lockstep barrier under vmap)"
+            )
+        return _newton_flat_single(ocp, controls, initial_state, cfg)
+
     stage_fn = (
         _newton_stage_par_single
         if cfg.globalization == "single"

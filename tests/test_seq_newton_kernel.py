@@ -128,3 +128,83 @@ def test_solver_newton_impl_seq_agrees():
     )(u0, x0)
     np.testing.assert_allclose(u_seq, u_par, atol=2e-3)
     assert int(it_seq) > 0
+
+
+def _lane_batch(a, B, key, scale=1e-3):
+    """B distinct lanes: the base stage data plus small per-lane noise."""
+    noise = scale * jax.random.normal(key, (B,) + a.shape, a.dtype)
+    return a[None] + noise
+
+
+@pytest.mark.parametrize("model,T,nx,S", [(cartpole, 17, 4, 2),
+                                          (pendulum, 23, 2, 2)])
+def test_streamed_kernel_matches_batched(model, T, nx, S):
+    """The sublane-packed T-streamed kernel (interpret) == the
+    whole-horizon-in-VMEM kernel, lane for lane, including batch padding."""
+    from ipoc_tpu.ops.pallas.seq_newton_kernel import (
+        seq_newton_trial_streamed,
+    )
+
+    _, d, lin_reg, XT = _stage_data(model, T, dtype=jnp.float32)
+    B = 5  # not a multiple of S*128: exercises padding
+    keys = jax.random.split(jax.random.PRNGKey(7), 7)
+    args = tuple(
+        _lane_batch(a, B, k)
+        for a, k in zip(
+            (lin_reg.r, lin_reg.Q, lin_reg.R, lin_reg.M, d.fx, d.fu, XT),
+            keys,
+        )
+    )
+    du_ref, dx_ref, pred_ref, ok_ref = seq_newton_trial_batched(
+        *args, interpret=True
+    )
+    du, dx, pred, ok = seq_newton_trial_streamed(
+        *args, sublanes=S, interpret=True
+    )
+    # f32 ulp-level differences only (different tile shapes reassociate
+    # compiler-fused multiply-adds): scale the tolerance to the data.
+    scale = float(np.abs(np.asarray(du_ref)).max()) + 1e-6
+    np.testing.assert_allclose(np.asarray(du), np.asarray(du_ref),
+                               atol=2e-6 * scale)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               atol=2e-6 * scale)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pred_ref),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+
+
+def test_streamed_costates_match_batched():
+    from ipoc_tpu.ops.pallas.seq_newton_kernel import (
+        seq_costates_batched,
+        seq_costates_streamed,
+    )
+
+    T = 19
+    ocp = cartpole.make_ocp(1.0 / T)
+    x0 = cartpole.initial_state(jnp.float32)
+    u0 = (0.1 * jax.random.normal(jax.random.PRNGKey(2), (T, 1))).astype(
+        jnp.float32
+    )
+    X = rollout(ocp.dynamics, u0, x0)
+    d = compute_derivatives(ocp, X, u0, jnp.float32(0.1))
+    lam_T = jax.grad(ocp.final_cost)(X[-1])
+    B = 3
+    keys = jax.random.split(jax.random.PRNGKey(9), 3)
+    cx = _lane_batch(d.cx, B, keys[0])
+    fx = _lane_batch(d.fx, B, keys[1])
+    lT = _lane_batch(lam_T, B, keys[2])
+    lam_ref = seq_costates_batched(cx, fx, lT, interpret=True)
+    lam = seq_costates_streamed(cx, fx, lT, sublanes=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_ref),
+                               atol=1e-6)
+
+
+def test_stream_sublanes_rule():
+    from ipoc_tpu.ops.pallas.seq_newton_kernel import _stream_sublanes
+
+    assert _stream_sublanes(64) == 0
+    assert _stream_sublanes(128) == 0
+    assert _stream_sublanes(256) == 2
+    assert _stream_sublanes(700) == 4
+    assert _stream_sublanes(1024) == 8
+    assert _stream_sublanes(4096) == 8

@@ -184,3 +184,52 @@ def test_zero_warm_start_with_reg_floor(pendulum_problem):
     u_d, it_d = ipoc_tpu.par_interior_point_optimal_control(ocp, u0, x0)
     assert int(it_d) <= 10
     np.testing.assert_array_equal(np.asarray(u_d), np.asarray(u0))
+
+
+def test_flat_barrier_matches_staged(pendulum_problem):
+    """barrier_mode='flat' replays the staged single-trial solve per lane:
+    same controls, same total iteration count."""
+    ocp, u0, x0 = pendulum_problem
+    cfg = ipoc_tpu.DEFAULT_CONFIG.replace(globalization="single")
+    u_staged, it_staged = jax.jit(
+        lambda u, x: ipoc_tpu.par_interior_point_optimal_control(
+            ocp, u, x, cfg
+        )
+    )(u0, x0)
+    u_flat, it_flat = jax.jit(
+        lambda u, x: ipoc_tpu.par_interior_point_optimal_control(
+            ocp, u, x, cfg.replace(barrier_mode="flat")
+        )
+    )(u0, x0)
+    np.testing.assert_allclose(np.asarray(u_flat), np.asarray(u_staged),
+                               rtol=0, atol=1e-12)
+    assert int(it_flat) == int(it_staged)
+
+
+def test_flat_barrier_batched(pendulum_problem):
+    """Flat mode under vmap: per-lane results match per-lane staged solves."""
+    from ipoc_tpu.solvers.batched import make_batch, solve_batch
+
+    ocp, _, x0 = pendulum_problem
+    cfg = ipoc_tpu.DEFAULT_CONFIG.replace(
+        globalization="single", max_newton_iters=150
+    )
+    u0, x0b = make_batch(jax.random.PRNGKey(3), x0, 4, 50, 1,
+                         state_scale=0.05, dtype=jnp.float64)
+    sol_flat = solve_batch(ocp, u0, x0b, cfg.replace(barrier_mode="flat"))
+    for i in range(4):
+        u_i, it_i = ipoc_tpu.par_interior_point_optimal_control(
+            ocp, u0[i], x0b[i], cfg
+        )
+        np.testing.assert_allclose(np.asarray(sol_flat.controls[i]),
+                                   np.asarray(u_i), rtol=0, atol=1e-10)
+        assert int(sol_flat.iterations[i]) == int(it_i)
+
+
+def test_flat_barrier_requires_single():
+    ocp = pendulum.make_ocp(0.02)
+    with pytest.raises(ValueError):
+        ipoc_tpu.par_interior_point_optimal_control(
+            ocp, jnp.zeros((10, 1)), jnp.zeros(2),
+            ipoc_tpu.DEFAULT_CONFIG.replace(barrier_mode="flat"),
+        )
