@@ -20,6 +20,8 @@ import jax
 p = argparse.ArgumentParser()
 p.add_argument("--steps", type=int, default=50)
 p.add_argument("--horizon", type=int, default=40)
+p.add_argument("--batch", type=int, default=1,
+               help=">1: B independent closed-loop controllers in lockstep")
 p.add_argument("--platform", default=None)
 args = p.parse_args()
 if args.platform:
@@ -46,6 +48,36 @@ def main():
 
     x0 = pendulum.initial_state(jnp.float32)
     u_init = jnp.zeros((args.horizon, 1), jnp.float32)
+
+    if args.batch > 1:
+        # Batched NMPC: B independent closed-loop controllers stepping in
+        # lockstep — the amortized-throughput story (each step is a
+        # warm-started IP resolve; the fused batch kernels fill the VPU).
+        key = jax.random.PRNGKey(0)
+        x0b = x0[None, :] + 0.05 * jax.random.normal(
+            key, (args.batch, x0.shape[0]), jnp.float32
+        )
+        u0b = jnp.zeros((args.batch, args.horizon, 1), jnp.float32)
+        loop = jax.jit(
+            jax.vmap(
+                lambda x, u: nmpc_loop(solve, ocp.dynamics, x, u, args.steps)
+            )
+        )
+        xs, us = loop(x0b, u0b)
+        sync(xs)
+        t0 = time.perf_counter()
+        xs, us = loop(x0b, u0b)
+        sync(xs)
+        wall = time.perf_counter() - t0
+        n_resolves = args.batch * args.steps
+        print(
+            f"{args.batch} controllers x {args.steps} MPC steps in "
+            f"{wall:.3f}s ({n_resolves / wall:.0f} warm-started resolves/s)"
+        )
+        print("max |u|:", float(jnp.abs(us).max()), "(bound 5)")
+        print("mean final |theta|:",
+              float(jnp.abs(xs[:, -1, 0]).mean()))
+        return
 
     loop = jax.jit(
         lambda x, u: nmpc_loop(solve, ocp.dynamics, x, u, args.steps)

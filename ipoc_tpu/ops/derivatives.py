@@ -65,6 +65,63 @@ def compute_lqr_params(costates, d: Derivatives) -> LinearizedOCP:
     return LinearizedOCP(ru, Q, R, M)
 
 
+def compute_first_order(ocp: OCP, states, controls, bp) -> Derivatives:
+    """First-order stage derivatives only (cx, cu, fx, fu).
+
+    Everything the costate recursion and the trial-step kernels consume;
+    the second-order fields are ``None``.  Pairs with
+    :func:`compute_hamiltonian_lqr`, which produces the Newton stage data
+    without ever materializing the ``(T, nx, nx, nx)`` dynamics-curvature
+    tensors.
+    """
+
+    def stage(x, u):
+        cx = grad(ocp.stage_cost, 0)(x, u, bp)
+        cu = grad(ocp.stage_cost, 1)(x, u, bp)
+        fx = jacrev(ocp.dynamics, 0)(x, u)
+        fu = jacrev(ocp.dynamics, 1)(x, u)
+        return Derivatives(cx, cu, None, None, None, fx, fu, None, None,
+                           None)
+
+    return jax.vmap(stage)(states[:-1], controls)
+
+
+def compute_hamiltonian_lqr(ocp: OCP, states, controls, costates, bp
+                            ) -> LinearizedOCP:
+    """Newton stage data as Hessians of the stage Hamiltonian.
+
+    Mathematically identical to
+    ``compute_lqr_params(costates, compute_derivatives(...))`` (reference
+    par_interior_point_newton.py:31-42): with ``H_k(x, u) =
+    stage_cost(x, u, bp) + lam_{k+1}^T dynamics(x, u)``,
+
+    * ``ru = dH/du = cu + fu^T lam``
+    * ``Q  = d2H/dx2 = cxx + lam . fxx``
+    * ``R  = d2H/du2 = cuu + lam . fuu``
+    * ``M  = d2H/dxdu = cxu + lam . fxu``
+
+    but computed as ONE scalar Hessian per stage instead of ``nx`` per-output
+    Hessians contracted afterwards — nx-fold less second-order work and no
+    ``(T, nx, nx, nx)`` intermediates hitting HBM (the tensors dominate the
+    derivative phase's memory traffic for batched solves).
+    """
+
+    def stage(x, u, lam_next):
+        def ham(xx, uu):
+            return ocp.stage_cost(xx, uu, bp) + lam_next @ ocp.dynamics(
+                xx, uu
+            )
+
+        ru = grad(ham, 1)(x, u)
+        Q = jacfwd(grad(ham, 0), 0)(x, u)
+        R = jacfwd(grad(ham, 1), 1)(x, u)
+        M = jacfwd(grad(ham, 0), 1)(x, u)
+        return ru, Q, R, M
+
+    ru, Q, R, M = jax.vmap(stage)(states[:-1], controls, costates[1:])
+    return LinearizedOCP(ru, Q, R, M)
+
+
 def check_feasibility(ocp: OCP, states, controls):
     """All stage constraints satisfied (``<= 0``) along the trajectory.
 

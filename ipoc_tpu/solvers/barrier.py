@@ -17,6 +17,15 @@ from jax import lax
 from ipoc_tpu.config import SolverConfig
 
 
+def n_barrier_stages(cfg: SolverConfig) -> int:
+    """Number of stages the schedule runs (5 with reference defaults)."""
+    n, bp = 0, cfg.bp_init
+    while bp > cfg.bp_min:
+        n += 1
+        bp /= cfg.bp_decay
+    return n
+
+
 def barrier_loop(solve_stage: Callable, controls, cfg: SolverConfig):
     """Run ``solve_stage(u, bp) -> (u, newton_iters)`` over the barrier schedule.
 

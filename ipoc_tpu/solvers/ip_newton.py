@@ -40,13 +40,13 @@ from ipoc_tpu.config import DEFAULT_CONFIG, SolverConfig
 from ipoc_tpu.ops import linalg
 from ipoc_tpu.ops.derivatives import (
     check_feasibility,
-    compute_derivatives,
-    compute_lqr_params,
+    compute_first_order,
+    compute_hamiltonian_lqr,
 )
 from ipoc_tpu.parallel.costates import par_costates, seq_costates
 from ipoc_tpu.parallel.lqt import newton_lqt, par_bwd_pass, par_fwd_pass
 from ipoc_tpu.problem import OCP, Derivatives, LinearizedOCP
-from ipoc_tpu.solvers.barrier import barrier_loop
+from ipoc_tpu.solvers.barrier import barrier_loop, n_barrier_stages
 from ipoc_tpu.solvers.globalization import gain_ratio, lm_update
 from ipoc_tpu.utils.integrators import rollout
 
@@ -199,9 +199,9 @@ def _newton_stage_par(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
         x, u, it, rp, r_inc, _ = val
 
         cost = ocp.total_cost(x, u, bp)
-        d = compute_derivatives(ocp, x, u, bp)
+        d = compute_first_order(ocp, x, u, bp)
         costates = _costates(ocp, x[-1], d, cfg)
-        lin = compute_lqr_params(costates, d)
+        lin = compute_hamiltonian_lqr(ocp, x, u, costates, bp)
 
         def trial(inner):
             _, _, _, _, rp, r_inc, k, _ = inner
@@ -307,9 +307,9 @@ def _newton_stage_par_single(ocp: OCP, controls, initial_state, bp,
     def body(val):
         x, u, t, rp, r_inc, _ = val
         cost = ocp.total_cost(x, u, bp)
-        d = compute_derivatives(ocp, x, u, bp)
+        d = compute_first_order(ocp, x, u, bp)
         costates = _costates(ocp, x[-1], d, cfg)
-        lin = compute_lqr_params(costates, d)
+        lin = compute_hamiltonian_lqr(ocp, x, u, costates, bp)
         dx, du, pred, bwd_feasible, Hu = par_newton_step(
             ocp, x, d, rp, lin, cfg
         )
@@ -361,15 +361,6 @@ def _newton_stage_par_single(ocp: OCP, controls, initial_state, bp,
     return x, u, iters
 
 
-def _n_barrier_stages(cfg: SolverConfig) -> int:
-    """Number of barrier stages the staged driver runs (par:228-254)."""
-    n, bp = 0, cfg.bp_init
-    while bp > cfg.bp_min:
-        n += 1
-        bp /= cfg.bp_decay
-    return n
-
-
 def _newton_flat_single(ocp: OCP, controls, initial_state, cfg: SolverConfig):
     """Whole IP solve as ONE while_loop: the barrier parameter is per-lane
     loop state (cfg.barrier_mode="flat").
@@ -390,15 +381,15 @@ def _newton_flat_single(ocp: OCP, controls, initial_state, cfg: SolverConfig):
     dtype = controls.dtype
     x0_traj = rollout(ocp.dynamics, controls, initial_state)
     total_cap = jnp.asarray(
-        _n_barrier_stages(cfg) * (cfg.max_newton_iters + 1), jnp.int32
+        n_barrier_stages(cfg) * (cfg.max_newton_iters + 1), jnp.int32
     )
 
     def body(val):
         x, u, it, stage_it, rp, r_inc, bp, done = val
         cost = ocp.total_cost(x, u, bp)
-        d = compute_derivatives(ocp, x, u, bp)
+        d = compute_first_order(ocp, x, u, bp)
         costates = _costates(ocp, x[-1], d, cfg)
-        lin = compute_lqr_params(costates, d)
+        lin = compute_hamiltonian_lqr(ocp, x, u, costates, bp)
         dx, du, pred, bwd_feasible, Hu = par_newton_step(
             ocp, x, d, rp, lin, cfg
         )
@@ -587,9 +578,9 @@ def _newton_stage_seq(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
         x, u, t, mu, nu_, _, _ = val
         cost = ocp.total_cost(x, u, bp)
 
-        d = compute_derivatives(ocp, x, u, bp)
+        d = compute_first_order(ocp, x, u, bp)
         costates = seq_costates(ocp, x[-1], d)
-        lin = compute_lqr_params(costates, d)
+        lin = compute_hamiltonian_lqr(ocp, x, u, costates, bp)
         K, k, pred, bp_feasible = seq_bwd_newton(
             ocp.final_cost, x[-1], lin, d, mu
         )

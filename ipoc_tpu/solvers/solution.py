@@ -23,6 +23,7 @@ from ipoc_tpu.ops.derivatives import (
 )
 from ipoc_tpu.parallel.costates import par_costates
 from ipoc_tpu.problem import OCP
+from ipoc_tpu.solvers.barrier import n_barrier_stages
 from ipoc_tpu.solvers.ip_ddp import interior_point_ddp
 from ipoc_tpu.solvers.ip_newton import (
     par_interior_point_optimal_control,
@@ -72,7 +73,7 @@ def solve(
     x = rollout(ocp.dynamics, u, initial_state)
 
     # Stationarity of the final barrier stage actually solved.
-    n_stages = _num_barrier_stages(cfg)
+    n_stages = n_barrier_stages(cfg)
     bp_final = cfg.bp_init / cfg.bp_decay ** (n_stages - 1)
     d = compute_derivatives(ocp, x, u, bp_final)
     lam = par_costates(ocp, x[-1], d)
@@ -91,12 +92,3 @@ def solve(
         converged=grad_norm < cfg.tol,
     )
 
-
-def _num_barrier_stages(cfg: SolverConfig) -> int:
-    """Number of barrier stages the schedule runs (5 with the defaults)."""
-    n = 0
-    bp = cfg.bp_init
-    while bp > cfg.bp_min:
-        n += 1
-        bp /= cfg.bp_decay
-    return n

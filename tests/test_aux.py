@@ -12,12 +12,13 @@ import ipoc_tpu
 from ipoc_tpu.models import pendulum
 from ipoc_tpu.solvers.checkpoint import CheckpointedBatchRunner
 from ipoc_tpu.solvers.batched import BatchSolution, make_batch
-from ipoc_tpu.solvers.solution import IPSolution, solve, _num_barrier_stages
+from ipoc_tpu.solvers.barrier import n_barrier_stages
+from ipoc_tpu.solvers.solution import IPSolution, solve
 from ipoc_tpu.utils.logging import JsonlLogger
 
 
 def test_num_barrier_stages_default():
-    assert _num_barrier_stages(ipoc_tpu.DEFAULT_CONFIG) == 5
+    assert n_barrier_stages(ipoc_tpu.DEFAULT_CONFIG) == 5
 
 
 def test_solve_rich_api():

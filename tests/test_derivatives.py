@@ -98,3 +98,33 @@ def test_feasibility_check():
     # boundary counts as feasible (reference semantics, par:45-47)
     u_edge = u.at[3].set(50.0)
     assert bool(check_feasibility(ocp, x, u_edge))
+
+
+def test_hamiltonian_lqr_matches_tensor_path():
+    """compute_hamiltonian_lqr == compute_lqr_params(compute_derivatives):
+    same Newton stage data without materializing dynamics curvature."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipoc_tpu.models import cartpole
+    from ipoc_tpu.ops.derivatives import (
+        compute_derivatives,
+        compute_hamiltonian_lqr,
+        compute_lqr_params,
+    )
+    from ipoc_tpu.parallel.costates import seq_costates
+    from ipoc_tpu.utils.integrators import rollout
+
+    T = 30
+    ocp = cartpole.make_ocp(1.0 / T)
+    x0 = cartpole.initial_state(jnp.float64)
+    u0 = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (T, 1))
+    X = rollout(ocp.dynamics, u0, x0)
+    bp = jnp.float64(0.05)
+    d = compute_derivatives(ocp, X, u0, bp)
+    lam = seq_costates(ocp, X[-1], d)
+    ref = compute_lqr_params(lam, d)
+    out = compute_hamiltonian_lqr(ocp, X, u0, lam, bp)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
