@@ -37,6 +37,7 @@ from ipoc_tpu.solvers import (
     interior_point_ddp,
     par_interior_point_optimal_control,
     seq_interior_point_optimal_control,
+    solve_stream,
 )
 from ipoc_tpu.parallel import (
     LQT,

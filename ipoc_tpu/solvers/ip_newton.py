@@ -32,6 +32,8 @@ Deliberate deviations (documented, gated by SolverConfig):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 from jax import hessian, lax
@@ -361,113 +363,153 @@ def _newton_stage_par_single(ocp: OCP, controls, initial_state, bp,
     return x, u, iters
 
 
-def _newton_flat_single(ocp: OCP, controls, initial_state, cfg: SolverConfig):
-    """Whole IP solve as ONE while_loop: the barrier parameter is per-lane
-    loop state (cfg.barrier_mode="flat").
+class FlatLane(NamedTuple):
+    """Per-scenario state of a flat-mode IP solve (one while-loop lane).
+
+    Shared between the flat barrier driver (:func:`_newton_flat_single`) and
+    the streaming batched executor (solvers/stream.py), which refills
+    finished lanes with fresh scenarios from a pool.
+    """
+
+    x0: jax.Array        # (nx,) scenario initial state
+    x: jax.Array         # (T+1, nx) current trajectory
+    u: jax.Array         # (T, nu) current controls
+    it: jax.Array        # i32 total Newton iterations on this scenario
+    stage_it: jax.Array  # i32 iterations within the current barrier stage
+    rp: jax.Array        # LM regularization
+    r_inc: jax.Array     # LM growth factor
+    bp: jax.Array        # barrier parameter
+    done: jax.Array      # bool — solve complete (u holds the solution)
+
+
+def flat_lane_init(ocp: OCP, controls, initial_state, cfg: SolverConfig) -> FlatLane:
+    """Open a flat-mode solve: rollout + non-finite warm-start guard."""
+    dtype = controls.dtype
+    x0_traj = rollout(ocp.dynamics, controls, initial_state)
+    start_ok = jnp.isfinite(
+        ocp.total_cost(x0_traj, controls, jnp.asarray(cfg.bp_init, dtype))
+    )
+    return FlatLane(
+        x0=initial_state,
+        x=x0_traj,
+        u=controls,
+        it=jnp.asarray(0, jnp.int32),
+        stage_it=jnp.asarray(0, jnp.int32),
+        rp=jnp.asarray(cfg.reg_init, dtype),
+        r_inc=jnp.asarray(cfg.reg_inc_init, dtype),
+        bp=jnp.asarray(cfg.bp_init, dtype),
+        done=jnp.logical_not(start_ok),
+    )
+
+
+def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig) -> FlatLane:
+    """One Newton iteration (plus any stage transition) of a flat-mode solve.
 
     Per lane this replays exactly the staged single-trial solve
     (:func:`_newton_stage_par_single` under :func:`barrier_loop`): the same
     trial sequence, the same per-stage regularization resets, the same
-    rollout at each stage start, the same stage tolerances.  The payoff is
-    under ``vmap``: stage transitions no longer synchronize across lanes, so
-    a batch pays ``max_lanes(total iterations)`` in lockstep instead of
-    ``sum_stages max_lanes(stage iterations)`` — a pure tail-latency win for
-    the batched-throughput path (docs/PERFORMANCE.md).
+    rollout at each stage start, the same stage tolerances.  Callers must
+    only apply it to lanes with ``done == False``.
 
-    One (documented) deviation: a lane whose cost/gradient goes non-finite
-    is retired immediately instead of burning one no-op stage per remaining
-    barrier value as the staged driver does.
+    One (documented) deviation from the staged driver: a lane whose
+    cost/gradient goes non-finite is retired immediately instead of burning
+    one no-op stage per remaining barrier value.
     """
-    dtype = controls.dtype
-    x0_traj = rollout(ocp.dynamics, controls, initial_state)
-    total_cap = jnp.asarray(
-        n_barrier_stages(cfg) * (cfg.max_newton_iters + 1), jnp.int32
+    x, u, bp = lane.x, lane.u, lane.bp
+    rp, r_inc = lane.rp, lane.r_inc
+    dtype = u.dtype
+    cost = ocp.total_cost(x, u, bp)
+    d = compute_first_order(ocp, x, u, bp)
+    costates = _costates(ocp, x[-1], d, cfg)
+    lin = compute_hamiltonian_lqr(ocp, x, u, costates, bp)
+    dx, du, pred, bwd_feasible, Hu = par_newton_step(
+        ocp, x, d, rp, lin, cfg
+    )
+    Hu_norm = jnp.max(jnp.abs(Hu))
+    temp_x = x + dx
+    temp_u = u + du
+    new_cost = jnp.where(
+        check_feasibility(ocp, temp_x, temp_u),
+        ocp.total_cost(temp_x, temp_u, bp),
+        jnp.inf,
+    )
+    rho = gain_ratio(new_cost, cost, pred)
+    accept = jnp.logical_and(rho > 0.0, bwd_feasible)
+    stalled = jnp.logical_and(
+        jnp.logical_not(accept), rp >= cfg.reg_max
+    ) & bool(cfg.stall_exit)
+    rp, r_inc = lm_update(rp, r_inc, rho, accept, cfg)
+    x = jnp.where(accept, temp_x, x)
+    u = jnp.where(accept, temp_u, u)
+
+    tol_s = jnp.maximum(jnp.asarray(cfg.tol, dtype),
+                        cfg.stage_tol_scale * bp)
+    conv = Hu_norm < tol_s
+    if cfg.pred_floor > 0.0:
+        conv = jnp.logical_or(
+            conv,
+            jnp.logical_and(
+                bwd_feasible,
+                jnp.abs(pred) < cfg.pred_floor * (1.0 + jnp.abs(cost)),
+            ),
+        )
+    bad = jnp.logical_or(
+        jnp.logical_not(jnp.isfinite(Hu_norm)),
+        jnp.logical_not(jnp.isfinite(cost)),
+    )
+    # Stage ends on convergence, stall, or the per-stage iteration cap
+    # (staged parity: _newton_stage_par_single runs while t <= cap).
+    advance = jnp.logical_or(
+        jnp.logical_or(conv, stalled), lane.stage_it + 1 > cfg.max_newton_iters
+    )
+    advance = jnp.logical_and(advance, jnp.logical_not(bad))
+    bp_next = bp / cfg.bp_decay
+    done_now = jnp.logical_or(
+        bad, jnp.logical_and(advance, bp_next <= cfg.bp_min)
+    )
+    # Stage transition: decay bp, reset the LM state, re-rollout the
+    # nonlinear trajectory from the warm-started controls (staged parity:
+    # each stage opens with `rollout`, par:133).
+    roll = jnp.logical_and(advance, jnp.logical_not(done_now))
+    x = jnp.where(roll, rollout(ocp.dynamics, u, lane.x0), x)
+    bp = jnp.where(advance, bp_next, bp)
+    rp = jnp.where(advance, jnp.asarray(cfg.reg_init, dtype), rp)
+    r_inc = jnp.where(advance, jnp.asarray(cfg.reg_inc_init, dtype), r_inc)
+    stage_it = jnp.where(advance, jnp.asarray(0, jnp.int32), lane.stage_it + 1)
+    return FlatLane(
+        x0=lane.x0, x=x, u=u, it=lane.it + 1, stage_it=stage_it,
+        rp=rp, r_inc=r_inc, bp=bp, done=jnp.logical_or(lane.done, done_now),
     )
 
-    def body(val):
-        x, u, it, stage_it, rp, r_inc, bp, done = val
-        cost = ocp.total_cost(x, u, bp)
-        d = compute_first_order(ocp, x, u, bp)
-        costates = _costates(ocp, x[-1], d, cfg)
-        lin = compute_hamiltonian_lqr(ocp, x, u, costates, bp)
-        dx, du, pred, bwd_feasible, Hu = par_newton_step(
-            ocp, x, d, rp, lin, cfg
-        )
-        Hu_norm = jnp.max(jnp.abs(Hu))
-        temp_x = x + dx
-        temp_u = u + du
-        new_cost = jnp.where(
-            check_feasibility(ocp, temp_x, temp_u),
-            ocp.total_cost(temp_x, temp_u, bp),
-            jnp.inf,
-        )
-        rho = gain_ratio(new_cost, cost, pred)
-        accept = jnp.logical_and(rho > 0.0, bwd_feasible)
-        stalled = jnp.logical_and(
-            jnp.logical_not(accept), rp >= cfg.reg_max
-        ) & bool(cfg.stall_exit)
-        rp, r_inc = lm_update(rp, r_inc, rho, accept, cfg)
-        x = jnp.where(accept, temp_x, x)
-        u = jnp.where(accept, temp_u, u)
 
-        tol_s = jnp.maximum(jnp.asarray(cfg.tol, dtype),
-                            cfg.stage_tol_scale * bp)
-        conv = Hu_norm < tol_s
-        if cfg.pred_floor > 0.0:
-            conv = jnp.logical_or(
-                conv,
-                jnp.logical_and(
-                    bwd_feasible,
-                    jnp.abs(pred) < cfg.pred_floor * (1.0 + jnp.abs(cost)),
-                ),
-            )
-        bad = jnp.logical_or(
-            jnp.logical_not(jnp.isfinite(Hu_norm)),
-            jnp.logical_not(jnp.isfinite(cost)),
-        )
-        # Stage ends on convergence, stall, or the per-stage iteration cap
-        # (staged parity: _newton_stage_par_single runs while t <= cap).
-        advance = jnp.logical_or(
-            jnp.logical_or(conv, stalled), stage_it + 1 > cfg.max_newton_iters
-        )
-        advance = jnp.logical_and(advance, jnp.logical_not(bad))
-        bp_next = bp / cfg.bp_decay
-        done_now = jnp.logical_or(
-            bad, jnp.logical_and(advance, bp_next <= cfg.bp_min)
-        )
-        # Stage transition: decay bp, reset the LM state, re-rollout the
-        # nonlinear trajectory from the warm-started controls (staged parity:
-        # each stage opens with `rollout`, par:133).
-        roll = jnp.logical_and(advance, jnp.logical_not(done_now))
-        x = jnp.where(roll, rollout(ocp.dynamics, u, initial_state), x)
-        bp = jnp.where(advance, bp_next, bp)
-        rp = jnp.where(advance, jnp.asarray(cfg.reg_init, dtype), rp)
-        r_inc = jnp.where(advance, jnp.asarray(cfg.reg_inc_init, dtype), r_inc)
-        stage_it = jnp.where(advance, jnp.asarray(0, jnp.int32), stage_it + 1)
-        return x, u, it + 1, stage_it, rp, r_inc, bp, jnp.logical_or(done, done_now)
+def flat_total_cap(cfg: SolverConfig) -> int:
+    """Upper bound on flat-mode iterations (staged parity: every stage may
+    run to its cap)."""
+    return n_barrier_stages(cfg) * (cfg.max_newton_iters + 1)
 
-    def cond(val):
-        _, _, it, _, _, _, _, done = val
-        return jnp.logical_and(jnp.logical_not(done), it < total_cap)
 
-    start_ok = jnp.isfinite(
-        ocp.total_cost(x0_traj, controls, jnp.asarray(cfg.bp_init, dtype))
+def _newton_flat_single(ocp: OCP, controls, initial_state, cfg: SolverConfig):
+    """Whole IP solve as ONE while_loop: the barrier parameter is per-lane
+    loop state (cfg.barrier_mode="flat").
+
+    The payoff is under ``vmap``: stage transitions no longer synchronize
+    across lanes, so a batch pays ``max_lanes(total iterations)`` in lockstep
+    instead of ``sum_stages max_lanes(stage iterations)`` — a pure
+    tail-latency win for the batched-throughput path (docs/PERFORMANCE.md).
+    See :func:`flat_lane_iter` for the per-iteration semantics.
+    """
+    total_cap = jnp.asarray(flat_total_cap(cfg), jnp.int32)
+
+    def body(lane):
+        return flat_lane_iter(ocp, lane, cfg)
+
+    def cond(lane):
+        return jnp.logical_and(jnp.logical_not(lane.done), lane.it < total_cap)
+
+    lane = lax.while_loop(
+        cond, body, flat_lane_init(ocp, controls, initial_state, cfg)
     )
-    _, u, iters, _, _, _, _, _ = lax.while_loop(
-        cond,
-        body,
-        (
-            x0_traj,
-            controls,
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(cfg.reg_init, dtype),
-            jnp.asarray(cfg.reg_inc_init, dtype),
-            jnp.asarray(cfg.bp_init, dtype),
-            jnp.logical_not(start_ok),
-        ),
-    )
-    return u, iters
+    return lane.u, lane.it
 
 
 def par_interior_point_optimal_control(

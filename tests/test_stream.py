@@ -1,0 +1,85 @@
+"""Streaming executor tests: per-scenario results must match the flat-mode
+solver exactly (same trial sequences, only lane scheduling differs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ipoc_tpu
+from ipoc_tpu.models import pendulum
+from ipoc_tpu.solvers.batched import make_batch, solve_batch
+from ipoc_tpu.solvers.stream import solve_stream
+
+CFG = ipoc_tpu.FAST_CONFIG.replace(
+    globalization="single", barrier_mode="flat"
+)
+
+
+@pytest.fixture(scope="module")
+def scenario_pool():
+    ocp = pendulum.make_ocp(0.02)
+    x0 = pendulum.initial_state(jnp.float64)
+    u0, x0b = make_batch(
+        jax.random.PRNGKey(3), x0, 7, 50, 1,
+        state_scale=0.05, control_scale=0.1, dtype=jnp.float64,
+    )
+    return ocp, u0, x0b
+
+
+def _flat_reference(ocp, u0, x0b):
+    sol = jax.jit(
+        lambda u, x: solve_batch(ocp, u, x, CFG)
+    )(u0, x0b)
+    return np.asarray(sol.controls), np.asarray(sol.iterations)
+
+
+@pytest.mark.parametrize("lanes", [3, 7, 16])
+def test_stream_matches_flat(scenario_pool, lanes):
+    """N=7 scenarios through 3 (refilling), 7 (exact), and 16 (clamped to N)
+    lanes all reproduce the flat-mode per-scenario solutions."""
+    ocp, u0, x0b = scenario_pool
+    u_ref, it_ref = _flat_reference(ocp, u0, x0b)
+    sol = jax.jit(
+        lambda u, x: solve_stream(ocp, u, x, CFG, lanes=lanes)
+    )(u0, x0b)
+    np.testing.assert_allclose(np.asarray(sol.controls), u_ref,
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(sol.iterations), it_ref)
+
+
+def test_stream_fewer_lockstep_steps(scenario_pool):
+    """With fewer lanes than scenarios the stream still terminates and the
+    lockstep step count is bounded by sum of per-scenario iterations (full
+    serialization) plus capture steps."""
+    ocp, u0, x0b = scenario_pool
+    _, it_ref = _flat_reference(ocp, u0, x0b)
+    sol = solve_stream(ocp, u0, x0b, CFG, lanes=2)
+    assert int(sol.steps) <= int(it_ref.sum()) + len(it_ref) + 2
+
+
+def test_stream_bad_warm_start_lane():
+    """A non-finite warm start is captured with iterations=0 and its input
+    controls, without poisoning the other scenarios (flat-solver parity)."""
+    ocp = pendulum.make_ocp(0.02)
+    x0 = pendulum.initial_state(jnp.float64)
+    u0, x0b = make_batch(
+        jax.random.PRNGKey(5), x0, 4, 50, 1,
+        state_scale=0.05, control_scale=0.1, dtype=jnp.float64,
+    )
+    u_bad = u0.at[2].set(jnp.nan)
+    sol = solve_stream(ocp, u_bad, x0b, CFG, lanes=2)
+    ref_u, ref_it = _flat_reference(ocp, u_bad, x0b)
+    np.testing.assert_allclose(np.asarray(sol.controls), ref_u,
+                               rtol=1e-12, atol=1e-12, equal_nan=True)
+    np.testing.assert_array_equal(np.asarray(sol.iterations), ref_it)
+    assert int(sol.iterations[2]) == 0
+
+
+def test_stream_requires_single_globalization():
+    ocp = pendulum.make_ocp(0.02)
+    with pytest.raises(ValueError, match="single"):
+        solve_stream(
+            ocp, jnp.zeros((2, 10, 1)), jnp.zeros((2, 2)),
+            ipoc_tpu.FAST_CONFIG,
+        )
