@@ -13,8 +13,15 @@ denominator used for ``vs_baseline`` is the BASELINE.json north-star target
 pro-rated to one chip: 1e4 solves/s on a v5p-16 (8 chips) => 1250 solves/s
 per chip.  vs_baseline > 1 beats the per-chip north star.
 
-Env knobs: IPOC_BENCH_BATCH (default 32), IPOC_BENCH_REPS (default 5),
-IPOC_BENCH_HORIZON (default 100).
+The headline configuration streams a pool of IPOC_BENCH_POOL scenarios
+through IPOC_BENCH_BATCH resident lanes (solvers/stream.py): converged lanes
+are refilled from the pool every IPOC_BENCH_REFILL steps, so the batch pays
+~mean per-scenario iterations instead of the lockstep maximum.  Set
+IPOC_BENCH_MODE=batch for the plain vmapped solver.
+
+Env knobs: IPOC_BENCH_BATCH (default 2048 lanes), IPOC_BENCH_POOL (default
+4x lanes), IPOC_BENCH_REPS (default 5), IPOC_BENCH_HORIZON (default 100),
+IPOC_BENCH_MODE (stream|batch), IPOC_BENCH_REFILL (default 16).
 """
 
 import json
@@ -45,10 +52,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import ipoc_tpu
 from ipoc_tpu.models import cartpole
 from ipoc_tpu.solvers.batched import make_batch, solve_batch
+from ipoc_tpu.solvers.stream import solve_stream
 
 BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "2048"))
+POOL = int(os.environ.get("IPOC_BENCH_POOL", str(4 * BATCH)))
 REPS = int(os.environ.get("IPOC_BENCH_REPS", "5"))
 HORIZON = int(os.environ.get("IPOC_BENCH_HORIZON", "100"))
+MODE = os.environ.get("IPOC_BENCH_MODE", "stream")
+REFILL = int(os.environ.get("IPOC_BENCH_REFILL", "16"))
 DT = 1.0 / HORIZON  # reference sweep keeps H * dt = 1 s
 NORTH_STAR_PER_CHIP = 1e4 / 8.0
 
@@ -56,15 +67,20 @@ NORTH_STAR_PER_CHIP = 1e4 / 8.0
 def main():
     ocp = cartpole.make_ocp(DT)
     x0 = cartpole.initial_state(jnp.float32)
+    n_scen = POOL if MODE == "stream" else BATCH
     u0, x0b = make_batch(
-        jax.random.PRNGKey(1), x0, BATCH, HORIZON, 1,
+        jax.random.PRNGKey(1), x0, n_scen, HORIZON, 1,
         state_scale=0.01, control_scale=0.1, dtype=jnp.float32,
     )
     cfg = ipoc_tpu.BATCH_CONFIG
     if os.environ.get("IPOC_BENCH_BARRIER"):
         cfg = cfg.replace(barrier_mode=os.environ["IPOC_BENCH_BARRIER"])
 
-    step = jax.jit(lambda u, x: solve_batch(ocp, u, x, cfg))
+    if MODE == "stream":
+        step = jax.jit(lambda u, x: solve_stream(
+            ocp, u, x, cfg, lanes=BATCH, refill_every=REFILL))
+    else:
+        step = jax.jit(lambda u, x: solve_batch(ocp, u, x, cfg))
 
     # Warmup (compile) — excluded from timing, reference protocol.
     sol = step(u0, x0b)
@@ -82,7 +98,7 @@ def main():
               file=sys.stderr)
 
     med = statistics.median(times)
-    solves_per_sec = BATCH / med
+    solves_per_sec = n_scen / med
     print(
         json.dumps(
             {

@@ -6,16 +6,17 @@ batch finishes (and, in staged barrier mode, at every stage boundary).  On
 cold-started cartpole batches the lockstep max is ~2.6x the median
 (docs/PERFORMANCE.md) — that factor is pure idle work.
 
-``solve_stream`` processes a POOL of N scenarios with B resident lanes inside
-one ``lax.while_loop``: each loop step advances every lane by one flat-mode
-Newton iteration (solvers/ip_newton.py flat_lane_iter — per-scenario
-semantics identical to ``barrier_mode="flat"``), and lanes whose scenario
-converged immediately scatter their solution to the output buffer and gather
-a fresh scenario from the pool.  The batch therefore pays ~mean(iterations)
-per scenario plus one drain tail for the whole stream, instead of
-max(iterations) per batch — the "batched re-fill of fresh scenarios into
-converged lanes" throughput strategy (SURVEY §7 "Hard parts": amortizing
-whole IP solves without idling early-converged lanes).
+``solve_stream`` processes a POOL of N scenarios with B resident lanes in a
+two-level loop: an inner ``lax.while_loop`` advances every live lane by up
+to ``refill_every`` flat-mode Newton iterations (solvers/ip_newton.py
+flat_lane_iter — per-scenario semantics identical to
+``barrier_mode="flat"``), then the outer loop scatters converged lanes'
+solutions to the output buffer and gathers fresh scenarios from the pool.
+The batch therefore pays ~mean(iterations) per scenario plus one drain tail
+for the whole stream, instead of max(iterations) per batch — the "batched
+re-fill of fresh scenarios into converged lanes" throughput strategy
+(SURVEY §7 "Hard parts": amortizing whole IP solves without idling
+early-converged lanes).
 
 The reference has no batching of any kind (SURVEY §2: one solve per call,
 single GPU); this module is new TPU-native surface.
@@ -60,6 +61,7 @@ def solve_stream(
     initial_states,  # (N, nx)
     cfg: SolverConfig = DEFAULT_CONFIG,
     lanes: int = 2048,
+    refill_every: int = 16,
 ) -> StreamSolution:
     """Solve N scenarios with B = min(lanes, N) resident lanes, refilling.
 
@@ -69,6 +71,17 @@ def solve_stream(
     — only the lane scheduling differs.  Requires
     ``cfg.globalization == "single"`` (the retry loop is itself a lockstep
     barrier; see SolverConfig.barrier_mode).
+
+    Structure: a two-level loop.  The inner loop runs up to ``refill_every``
+    bare Newton-advance steps (exiting early if every lane is finished); the
+    outer loop then captures finished scenarios to the output buffer and
+    refills those lanes from the pool.  Capture/refill (full-batch output
+    scatter, pool gathers, fresh-lane rollouts) is thus amortized over
+    ``refill_every`` steps, and the hot inner step carries no conditional —
+    a per-step ``lax.cond`` was measured at ~25% overhead even when never
+    taken (docs/PERFORMANCE.md).  A finished lane idles at most
+    ``refill_every - 1`` steps; every other lane still advances, so
+    per-scenario results are schedule-independent.
     """
     if cfg.globalization != "single":
         raise ValueError(
@@ -87,22 +100,50 @@ def solve_stream(
     # Output buffers have one dummy row (index N) absorbing masked scatters.
     out_u0 = jnp.zeros((N + 1, T, nu), dtype)
     out_it0 = jnp.zeros((N + 1,), jnp.int32)
-    # Worst case: every scenario runs to the flat-mode cap, fully serialized
-    # across ceil(N/B) generations, plus one capture step per generation.
-    max_steps = flat_total_cap(cfg) * ((N + B - 1) // B) + (N + B - 1) // B + 1
+    gens = (N + B - 1) // B
+    K = max(1, refill_every)
+    # Outer-iteration backstop: every outer round either advances at least
+    # one lane-iteration (inner ran >= 1 step; total bounded by the flat cap
+    # per scenario-generation, with one idle generation of slack for
+    # deferred captures) or, with zero advance possible, captures/retires at
+    # least one scenario (bounded by N).
+    max_outer = flat_total_cap(cfg) * (gens + 1) + N + gens + 1
 
-    def body(carry):
-        lanes, sid, active, pool_next, out_u, out_it, t = carry
+    def outer_body(carry):
+        lanes, sid, active, pool_next, out_u, out_it, t, r = carry
+
+        # Inner loop: up to K bare Newton-advance steps (no capture/refill
+        # machinery on this path), exiting early once every live lane is
+        # finished.  `active` is constant within the round.
+        def inner_cond(c):
+            ln, s = c
+            return jnp.logical_and(
+                s < K,
+                jnp.any(jnp.logical_and(active, jnp.logical_not(ln.done))),
+            )
+
+        def inner_body(c):
+            ln, s = c
+            adv = jnp.logical_and(active, jnp.logical_not(ln.done))
+            return _select(adv, step(ln), ln), s + 1
+
+        lanes, dt = lax.while_loop(
+            inner_cond, inner_body, (lanes, jnp.asarray(0, jnp.int32))
+        )
+
+        fin = jnp.logical_and(lanes.done, active)
 
         # 1. Capture finished scenarios (dummy row N absorbs the rest; all
         #    unfinished lanes collide there harmlessly).
-        fin = jnp.logical_and(lanes.done, active)
         wsid = jnp.where(fin, sid, N)
         out_u = out_u.at[wsid].set(lanes.u)
         out_it = out_it.at[wsid].set(lanes.it)
 
         # 2. Refill from the pool: the k-th finished lane (in lane order)
-        #    takes scenario pool_next + k, while the pool lasts.
+        #    takes scenario pool_next + k, while the pool lasts.  A freshly
+        #    refilled lane with a non-finite warm start has done=True from
+        #    init and is captured on the next outer round with it=0,
+        #    matching the flat solver.
         rank = jnp.cumsum(fin, dtype=jnp.int32) - 1
         new_sid = pool_next + rank
         take = jnp.logical_and(fin, new_sid < N)
@@ -114,18 +155,11 @@ def solve_stream(
             active, jnp.logical_or(jnp.logical_not(fin), take)
         )
         pool_next = pool_next + jnp.sum(take, dtype=jnp.int32)
+        return lanes, sid, active, pool_next, out_u, out_it, t + dt, r + 1
 
-        # 3. Advance every live, unfinished lane by one Newton iteration.
-        #    (A freshly refilled lane with a non-finite warm start has
-        #    done=True from init and is captured on the next loop step with
-        #    it=0, matching the flat solver.)
-        adv = jnp.logical_and(active, jnp.logical_not(lanes.done))
-        lanes = _select(adv, step(lanes), lanes)
-        return lanes, sid, active, pool_next, out_u, out_it, t + 1
-
-    def cond(carry):
-        _, _, active, _, _, _, t = carry
-        return jnp.logical_and(jnp.any(active), t < max_steps)
+    def outer_cond(carry):
+        _, _, active, _, _, _, _, r = carry
+        return jnp.logical_and(jnp.any(active), r < max_outer)
 
     carry = (
         lanes0,
@@ -135,6 +169,8 @@ def solve_stream(
         out_u0,
         out_it0,
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
     )
-    _, _, _, _, out_u, out_it, steps = lax.while_loop(cond, body, carry)
+    _, _, _, _, out_u, out_it, steps, _ = lax.while_loop(
+        outer_cond, outer_body, carry)
     return StreamSolution(out_u[:N], out_it[:N], steps)

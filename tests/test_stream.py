@@ -48,6 +48,21 @@ def test_stream_matches_flat(scenario_pool, lanes):
     np.testing.assert_array_equal(np.asarray(sol.iterations), it_ref)
 
 
+@pytest.mark.parametrize("every", [1, 5, 1000])
+def test_stream_refill_every_same_results(scenario_pool, every):
+    """The capture/refill cadence (every step, every 5, effectively once per
+    drain) only reschedules lanes; per-scenario solutions are unchanged."""
+    ocp, u0, x0b = scenario_pool
+    u_ref, it_ref = _flat_reference(ocp, u0, x0b)
+    sol = jax.jit(
+        lambda u, x: solve_stream(
+            ocp, u, x, CFG, lanes=3, refill_every=every)
+    )(u0, x0b)
+    np.testing.assert_allclose(np.asarray(sol.controls), u_ref,
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(sol.iterations), it_ref)
+
+
 def test_stream_fewer_lockstep_steps(scenario_pool):
     """With fewer lanes than scenarios the stream still terminates and the
     lockstep step count is bounded by sum of per-scenario iterations (full
