@@ -103,6 +103,14 @@ class SolverConfig:
     #           lanes (fused kernel, ops/pallas/seq_newton_kernel.py) and
     #           each solve does log2(T)-times less combine work than the
     #           parallel scan.
+    #   "fused" — "seq" semantics with the ENTIRE trial evaluation (model
+    #           derivatives re-derived in-kernel, costates, Riccati,
+    #           deviation rollout, both cost evaluations, feasibility) as
+    #           two Pallas launches reading only (x, u)
+    #           (ops/pallas/fused_iter_kernel.py) — the fastest batched
+    #           path; requires globalization="single" and
+    #           terminal_hessian="exact".  Off-TPU/f64 it falls back to an
+    #           identical unfused composition.
     newton_impl: str = "par"
 
     # --- semantics switches ---
@@ -151,7 +159,12 @@ FAST_CONFIG = SolverConfig(
 # iteration tail by ~25% on both pendulum and cartpole cold starts with
 # unchanged solution cost.  Warm-started (MPC) solves should prefer the
 # reference reg_init=1.
+# newton_impl="fused": the whole trial evaluation as two Pallas launches
+# with model derivatives re-derived in-kernel (reads (x, u) instead of the
+# ~42-floats-per-stage Newton stage data; measured +16% stream throughput
+# over "seq" at B=2048, docs/PERFORMANCE.md).  Off-TPU it falls back to the
+# identical unfused composition.
 BATCH_CONFIG = FAST_CONFIG.replace(
-    globalization="single", newton_impl="seq", pred_floor=1e-7,
+    globalization="single", newton_impl="fused", pred_floor=1e-7,
     reg_init=100.0,
 )

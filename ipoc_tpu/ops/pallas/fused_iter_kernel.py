@@ -1,0 +1,850 @@
+"""Fully-fused Newton iteration: model derivatives computed IN-kernel.
+
+The per-iteration pipeline of the batched flat-mode solver
+(solvers/ip_newton.py flat_lane_iter) was, before this kernel:
+
+    XLA: total_cost -> first-order derivatives -> [costate kernel]
+    -> Hamiltonian Hessians -> [Newton-trial kernel] -> trial cost
+    -> feasibility
+
+with the Newton stage data (ru, Q, R, M, fx, fu — ~42 floats per stage per
+scenario) materialized to HBM between the XLA prologue and the trial kernel.
+Here the whole iteration is TWO Pallas launches that read only the iterate
+``(x, u)`` (~5 floats per stage) and the per-lane scalars ``(bp, reg)``:
+
+* **backward launch** — one stage per grid step, newest-to-oldest.  At each
+  stage the model's first- and second-order stage data are computed on the
+  fly by JAX AD *inside* the kernel (``jax.grad``/``jax.jacfwd``/
+  ``jax.jacrev`` of the user's ``stage_cost``/``dynamics``, double-vmapped
+  over the (sublane, lane) axes so every generated primitive is an
+  elementwise Mosaic op on (S, 128) tiles), then consumed immediately by the
+  costate recursion (lam = cx + fx^T lam') and the Riccati recursion —
+  nothing but the gains ever reaches HBM.  The launch also accumulates the
+  current total cost and the Hamiltonian-gradient convergence norm
+  ``max_t |ru|`` on the fly.
+* **forward launch** — closed-loop deviation rollout (fx, fu re-derived
+  in-kernel) fused with the trial evaluation: emits the trial iterate
+  ``(x + dx, u + du)``, its barrier total cost, and the trajectory's
+  maximum constraint value (feasible iff <= 0).
+
+Semantics are identical to the unfused path (reference semantics cites:
+compute_hamiltonian_lqr == compute_lqr_params(costates, compute_derivatives)
+== reference par_interior_point_newton.py:13-42; Riccati recursion ==
+seq_interior_point_newton.py:42-90; trial acceptance quantities ==
+par:156-165) up to f32 summation order.  Requires
+``terminal_hessian="exact"`` (the in-kernel terminal data is
+grad/hessian(final_cost), the documented deliberate fix of the reference's
+XT=Q[0] quirk, par:74).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ipoc_tpu.ops.pallas.seq_newton_kernel import (
+    LANES,
+    SUBLANES,
+    _ceil_to,
+    _dot,
+    _mm,
+    _mv,
+    _pack_s,
+    _pivots_only,
+    _solve_track,
+    _stream_sublanes,
+    _transpose,
+    _unpack_s,
+)
+from ipoc_tpu.problem import OCP
+
+
+# ---------------------------------------------------------------------------
+# Block lifting: evaluate a per-element jaxpr with every value carrying a
+# trailing (S, LANES) batch.
+#
+# ``jax.vmap`` cannot be used inside the kernel: its batching rules move the
+# mapped axis to the FRONT for shape-changing primitives, producing
+# batch-leading intermediates (e.g. vector<128x8x4x4>) whose minor dims are
+# the tiny component axes — layouts Mosaic cannot tile (measured: "unsupported
+# shape cast").  Instead the per-element function (model + its AD, flattened
+# to primitives by make_jaxpr) is replayed by a ~10-rule interpreter where
+# each abstract value of shape ``s`` is a concrete array of shape
+# ``s + (S, LANES)``: elementwise primitives apply unchanged, reductions /
+# concatenations / squeezes already index leading axes, and only the
+# shape-parameterized primitives (reshape, transpose, broadcast, slice, pad)
+# need their parameters extended over the trailing tile.
+# ---------------------------------------------------------------------------
+
+
+def _blk_of(aval_shape, val):
+    return val.shape[len(val.shape) - 2:] if hasattr(val, "shape") else ()
+
+
+def _r_broadcast_in_dim(eqn, vals, blk):
+    (x,) = vals
+    shape = tuple(eqn.params["shape"]) + blk
+    if not hasattr(x, "ndim") or x.ndim == 0:
+        return jnp.broadcast_to(x, shape)
+    bdims = tuple(eqn.params["broadcast_dimensions"]) + (
+        len(shape) - 2, len(shape) - 1)
+    return jax.lax.broadcast_in_dim(x, shape, bdims)
+
+
+def _r_reshape(eqn, vals, blk):
+    (x,) = vals
+    if eqn.params.get("dimensions") is not None:
+        raise NotImplementedError("reshape with dimensions in block_eval")
+    return jax.lax.reshape(x, tuple(eqn.params["new_sizes"]) + blk)
+
+
+def _r_transpose(eqn, vals, blk):
+    (x,) = vals
+    perm = tuple(eqn.params["permutation"])
+    return jax.lax.transpose(x, perm + (len(perm), len(perm) + 1))
+
+
+def _r_slice(eqn, vals, blk):
+    (x,) = vals
+    start = tuple(eqn.params["start_indices"]) + (0, 0)
+    limit = tuple(eqn.params["limit_indices"]) + blk
+    strides = eqn.params["strides"]
+    strides = (tuple(strides) if strides is not None
+               else (1,) * (len(limit) - 2)) + (1, 1)
+    return jax.lax.slice(x, start, limit, strides)
+
+
+def _r_pad(eqn, vals, blk):
+    x, pv = vals
+    cfg = tuple(eqn.params["padding_config"]) + ((0, 0, 0), (0, 0, 0))
+    if not hasattr(pv, "ndim") or pv.ndim == 0:
+        # the pad value must be a scalar; blocked scalars are (S, L) —
+        # only constant pad values are supported here
+        return jax.lax.pad(x, pv, cfg)
+    raise NotImplementedError("pad with batched pad value in block_eval")
+
+
+def _r_iota(eqn, vals, blk):
+    out = eqn.primitive.bind(**eqn.params)
+    return jnp.broadcast_to(
+        out.reshape(out.shape + (1, 1)), out.shape + blk)
+
+
+def _r_select_n(eqn, vals, blk):
+    # select_n is shape-strict: every operand must match the output block
+    # (the pred may be a lower-rank — even scalar — aval in the jaxpr)
+    out_shape = tuple(eqn.outvars[0].aval.shape) + blk
+
+    def fit(v):
+        a = jnp.asarray(v)
+        if tuple(a.shape) == out_shape:
+            return a
+        if a.ndim == 0:
+            return jnp.broadcast_to(a, out_shape)
+        if tuple(a.shape[-2:]) == tuple(blk):  # blocked, lower-rank aval
+            core = a.shape[:-2]
+            new = (1,) * (len(out_shape) - 2 - len(core)) + tuple(core) + \
+                tuple(blk)
+        else:  # unblocked: aval dims lead, tile dims appended
+            new = (1,) * (len(out_shape) - 2 - a.ndim) + tuple(a.shape) + \
+                (1, 1)
+        return jnp.broadcast_to(a.reshape(new), out_shape)
+
+    return jax.lax.select_n(*[fit(v) for v in vals])
+
+
+def _r_call(eqn, vals, blk):
+    inner = eqn.params["jaxpr"] if "jaxpr" in eqn.params else eqn.params[
+        "call_jaxpr"]
+    if hasattr(inner, "jaxpr"):  # ClosedJaxpr
+        for c in inner.consts:
+            if hasattr(c, "ndim") and c.ndim > 0:
+                raise NotImplementedError(
+                    "block_eval: nested call with non-scalar consts; "
+                    "inline the function or lift the constant out"
+                )
+        return _block_eval(inner.jaxpr, list(inner.consts), blk, *vals,
+                           block_outputs=False)
+    return _block_eval(inner, [], blk, *vals, block_outputs=False)
+
+
+_RULES = {
+    "broadcast_in_dim": _r_broadcast_in_dim,
+    "reshape": _r_reshape,
+    "transpose": _r_transpose,
+    "slice": _r_slice,
+    "pad": _r_pad,
+    "iota": _r_iota,
+    "select_n": _r_select_n,
+}
+_CALLS = {"jit", "pjit", "custom_jvp_call", "custom_vjp_call",
+          "custom_jvp_call_jaxpr", "closed_call", "core_call"}
+
+
+def _run_eqns(eqns, env, blk):
+    """Evaluate equations with values carrying a trailing ``blk`` batch.
+
+    Values are *blocked* (shape ``aval.shape + blk``) or *unblocked*
+    (concrete constants — scalars broadcast for free; non-scalar constants
+    reaching a blocked operand are tiled at the meeting point, which is only
+    safe for CONCRETE values: abstract element-shaped intermediates would
+    stage element-shaped vector ops Mosaic cannot tile, so
+    :func:`_block_lift` constant-folds them away beforehand).
+    """
+
+    def read(v):
+        if isinstance(v, jax.extend.core.Literal):
+            return v.val
+        return env[v]
+
+    def blockedp(v, val):
+        return (hasattr(val, "shape")
+                and tuple(val.shape) == tuple(v.aval.shape) + blk)
+
+    def block(val):
+        a = jnp.asarray(val)
+        if a.ndim == 0:
+            return val  # scalars broadcast against blocked operands for free
+        return jnp.broadcast_to(
+            a.reshape(a.shape + (1, 1)), a.shape + blk)
+
+    for eqn in eqns:
+        raw = [read(v) for v in eqn.invars]
+        flags = [blockedp(v, x) for v, x in zip(eqn.invars, raw)]
+        any_b = any(flags)
+        name = eqn.primitive.name
+        if name in _CALLS:
+            outs = _r_call(eqn, raw, blk)
+        elif not any_b:
+            # constant subcomputation (possible in nested call bodies whose
+            # consts could not be folded at lift time)
+            outs = eqn.primitive.bind(*raw, **eqn.params)
+        else:
+            vals = [x if f else block(x) for f, x in zip(flags, raw)]
+            if name in _RULES:
+                outs = _RULES[name](eqn, vals, blk)
+            else:
+                # parameters are shape-agnostic here (elementwise ops,
+                # reductions / concatenations / squeezes on leading axes).
+                # Binary elementwise primitives allow implicit scalar-aval
+                # operands: left-pad lower-rank blocked values so numpy
+                # broadcasting sees the element dims aligned.
+                mx = max((jnp.ndim(v) for v in vals
+                          if hasattr(v, "shape")), default=0)
+                vals = [
+                    v.reshape((1,) * (mx - v.ndim) + tuple(v.shape))
+                    if hasattr(v, "shape") and 0 < v.ndim < mx else v
+                    for v in vals
+                ]
+                outs = eqn.primitive.bind(*vals, **eqn.params)
+        if not eqn.primitive.multiple_results:
+            outs = [outs]
+        else:
+            outs = list(outs)
+        for v, o in zip(eqn.outvars, outs):
+            ok_shapes = (tuple(v.aval.shape) + blk, tuple(v.aval.shape))
+            if hasattr(o, "shape") and tuple(o.shape) not in ok_shapes:
+                raise ValueError(
+                    f"block_eval: {name} produced {o.shape}, expected one "
+                    f"of {ok_shapes} — add a block rule for this primitive"
+                )
+            env[v] = o
+    return env
+
+
+def _block_eval(jaxpr, consts, blk, *args, block_outputs=True):
+    """Replay a (nested-call) jaxpr with trailing-``blk``-batched values."""
+    env = {}
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+    env = _run_eqns(jaxpr.eqns, env, blk)
+
+    def read(v):
+        if isinstance(v, jax.extend.core.Literal):
+            return v.val
+        return env[v]
+
+    outs = [read(v) for v in jaxpr.outvars]
+    if block_outputs:
+        outs = [
+            o if (hasattr(o, "shape")
+                  and tuple(o.shape) == tuple(v.aval.shape) + blk)
+            else jnp.broadcast_to(
+                jnp.asarray(o).reshape(tuple(v.aval.shape) + (1, 1)),
+                tuple(v.aval.shape) + blk,
+            )
+            for v, o in zip(jaxpr.outvars, outs)
+        ]
+    return outs
+
+
+def _block_lift(fn, *example_args):
+    """Lift a per-element function to (S, LANES)-trailing blocks.
+
+    Traces ``fn`` (with ``disable_jit`` so library-internal jits inline),
+    CONSTANT-FOLDS every equation reachable from literals/constants alone —
+    under jaxpr tracing even constant subcomputations would otherwise stage
+    as abstract element-shaped ops inside the kernel, which Mosaic cannot
+    tile — and hoists the surviving non-scalar constants into explicit
+    kernel inputs (Pallas kernels may not close over non-scalar constants:
+    model weight vectors, AD basis rows, ...).
+
+    Returns ``(blocked_fn, consts)``.  ``blocked_fn`` takes each argument
+    as ``elem_shape + (S, LANES)`` and each const FLATTENED as
+    ``(size, S, LANES)`` (the kernel feeds them as broadcast blocks) and
+    reshapes them back inside.
+    """
+    Literal = jax.extend.core.Literal
+    # ensure_compile_time_eval: the lift may run inside an ambient jit /
+    # custom_vmap trace, where even const-only binds would stage as abstract
+    # ops — the folding below must evaluate eagerly.
+    with jax.ensure_compile_time_eval(), jax.disable_jit():
+        closed_jaxpr = jax.make_jaxpr(fn)(*example_args)
+        jaxpr = closed_jaxpr.jaxpr
+
+        # 1. constant folding, eagerly OUTSIDE any trace
+        conc = {v: jnp.asarray(c)
+                for v, c in zip(jaxpr.constvars, closed_jaxpr.consts)}
+        folded = set()
+        for i, eqn in enumerate(jaxpr.eqns):
+            vals = []
+            for a in eqn.invars:
+                if isinstance(a, Literal):
+                    vals.append(a.val)
+                elif a in conc:
+                    vals.append(conc[a])
+                else:
+                    vals = None
+                    break
+            if vals is None:
+                continue
+            outs = eqn.primitive.bind(*vals, **eqn.params)
+            if not eqn.primitive.multiple_results:
+                outs = [outs]
+            for v, o in zip(eqn.outvars, outs):
+                conc[v] = jnp.asarray(o)
+            folded.add(i)
+    eqns = [e for i, e in enumerate(jaxpr.eqns) if i not in folded]
+
+    # 2. surviving constants: folded values read by remaining eqns/outputs
+    order, seen = [], set()
+    for e in eqns:
+        for a in e.invars:
+            if not isinstance(a, Literal) and a in conc and a not in seen:
+                seen.add(a)
+                order.append(a)
+    for a in jaxpr.outvars:
+        if not isinstance(a, Literal) and a in conc and a not in seen:
+            seen.add(a)
+            order.append(a)
+    hoist = [v for v in order if conc[v].ndim > 0]
+    # 0-d constants inline as Python scalars (jax.Array scalars would still
+    # count as captured constants; Python literals are weakly typed and are
+    # folded into the consuming ops)
+    scals = {v: conc[v].item() for v in order if conc[v].ndim == 0}
+    consts = [conc[v] for v in hoist]
+
+    def blocked(*all_args):
+        n = len(all_args) - len(hoist)
+        args, flat = all_args[:n], all_args[n:]
+        blk = tuple(args[0].shape[-2:])
+        env = {}
+        for v, a in zip(jaxpr.invars, args):
+            env[v] = a
+        for v, f in zip(hoist, flat):
+            env[v] = f.reshape(tuple(conc[v].shape) + blk)
+        env.update(scals)
+        env = _run_eqns(eqns, env, blk)
+
+        def read(v):
+            if isinstance(v, Literal):
+                return v.val
+            return env[v]
+
+        outs = []
+        for v in jaxpr.outvars:
+            o = read(v)
+            if not (hasattr(o, "shape")
+                    and tuple(o.shape) == tuple(v.aval.shape) + blk):
+                o = jnp.broadcast_to(
+                    jnp.asarray(o).reshape(tuple(v.aval.shape) + (1, 1)),
+                    tuple(v.aval.shape) + blk,
+                )
+            outs.append(o)
+        return tuple(outs) if len(outs) > 1 else outs[0]
+
+    return blocked, consts
+
+
+def _pack_consts(consts, S):
+    """Broadcast hoisted constants to (1, size, S, LANES) kernel inputs."""
+    out = []
+    for c in consts:
+        flat = jnp.reshape(c, (-1,))
+        out.append(
+            jnp.broadcast_to(
+                flat[:, None, None], (flat.shape[0], S, LANES)
+            )[None]
+        )
+    return out
+
+
+
+
+def _stage_bwd_fn(ocp: OCP, nx: int, nu: int):
+    """Per-element backward stage data (blocked by :func:`_blocked`).
+
+    Returns the Hamiltonian stage quantities (ops/derivatives.py
+    compute_hamiltonian_lqr), the dynamics Jacobians, the updated costate,
+    and the stage cost — row-major flattened so the kernel's row-layout
+    algebra consumes them without reshapes.
+    """
+
+    def stage(x, u, bp, lam_next):
+        def ham(xx, uu):
+            return ocp.stage_cost(xx, uu, bp) + jnp.sum(
+                lam_next * ocp.dynamics(xx, uu)
+            )
+
+        ru = jax.grad(ham, 1)(x, u)
+        Q = jax.jacfwd(jax.grad(ham, 0), 0)(x, u)
+        R = jax.jacfwd(jax.grad(ham, 1), 1)(x, u)
+        M = jax.jacfwd(jax.grad(ham, 0), 1)(x, u)
+        fx = jax.jacrev(ocp.dynamics, 0)(x, u)
+        fu = jax.jacrev(ocp.dynamics, 1)(x, u)
+        cx = jax.grad(ocp.stage_cost, 0)(x, u, bp)
+        lam = cx + jnp.sum(fx * lam_next[:, None], axis=0)
+        cst = ocp.stage_cost(x, u, bp)
+        return (
+            ru,
+            Q.reshape(nx * nx),
+            R.reshape(nu * nu),
+            M.reshape(nx * nu),
+            fx.reshape(nx * nx),
+            fu.reshape(nx * nu),
+            lam,
+            cst,
+        )
+
+    return stage
+
+
+def _term_fn(ocp: OCP, nx: int):
+    """Terminal costate / Hessian / cost from the final state."""
+
+    def term(xT):
+        lamT = jax.grad(ocp.final_cost)(xT)
+        VT = jax.jacfwd(jax.grad(ocp.final_cost))(xT)
+        cT = ocp.final_cost(xT)
+        return lamT, VT.reshape(nx * nx), cT
+
+    return term
+
+
+def _stage_fwd_fn(ocp: OCP, nx: int, nu: int):
+    """Per-element forward step: gains -> trial point -> cost/constraints."""
+
+    def stage(x, u, bp, dx, Kk):
+        k = Kk[:nu]
+        K = Kk[nu:].reshape(nu, nx)
+        du = k + jnp.sum(K * dx[None, :], axis=1)
+        tu = u + du
+        tx = x + dx
+        fx = jax.jacrev(ocp.dynamics, 0)(x, u)
+        fu = jax.jacrev(ocp.dynamics, 1)(x, u)
+        dxn = (
+            jnp.sum(fx * dx[None, :], axis=1)
+            + jnp.sum(fu * du[None, :], axis=1)
+        )
+        cst = ocp.stage_cost(tx, tu, bp)
+        cmax = jnp.max(ocp.constraints(tx, tu))
+        return tu, tx, dxn, cst, cmax
+
+    return stage
+
+
+def _term_fwd_fn(ocp: OCP):
+    def term(xT, dxT):
+        txT = xT + dxT
+        return txT, ocp.final_cost(txT)
+
+    return term
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _fused_bwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
+    """Costates + stage data + Riccati in one reversed-time sweep."""
+    x_ref, u_ref, xT_ref, bp_ref, reg_ref = refs[:5]
+    cs_refs = refs[5:5 + n_cs]
+    ct_refs = refs[5 + n_cs:5 + n_cs + n_ct]
+    (Kk_o, cost_o, dv_o, piv_o, hu_o) = refs[5 + n_cs + n_ct:
+                                             10 + n_cs + n_ct]
+    (Vxx_s, Vx_s, lam_s, dv_s, piv_s, cost_s, hu_s) = refs[10 + n_cs + n_ct:]
+    cs = [r[0] for r in cs_refs]
+    ct = [r[0] for r in ct_refs]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        lamT, VT, cT = term(xT_ref[0], *ct)
+        Vxx_s[:] = VT
+        Vx_s[:] = jnp.zeros_like(Vx_s)
+        lam_s[:] = lamT
+        dv_s[:] = jnp.zeros_like(dv_s)
+        piv_s[:] = jnp.full_like(piv_s, jnp.inf)
+        cost_s[:] = cT[None]
+        hu_s[:] = jnp.zeros_like(hu_s)
+
+    x = x_ref[0, 0]
+    u = u_ref[0, 0]
+    bp = bp_ref[0, 0]
+    reg = reg_ref[0, 0]
+
+    ru, Q, R, M, fx, fu, lam_new, cst = stage(x, u, bp, lam_s[:], *cs)
+    # Levenberg: R += reg * I (reg pre-scaled by ||cu|| outside; reference
+    # par:116-118).
+    R = jnp.stack(
+        [R[r] + reg if r % (nu + 1) == 0 else R[r] for r in range(nu * nu)],
+        axis=0,
+    )
+
+    Vxx = Vxx_s[:]
+    Vx = Vx_s[:]
+    fxT = _transpose(fx, nx, nx)
+    fuT = _transpose(fu, nx, nu)
+    Vfx = _mm(Vxx, fx, nx, nx, nx)
+    Vfu = _mm(Vxx, fu, nx, nx, nu)
+    Qxx = Q + _mm(fxT, Vfx, nx, nx, nx)
+    Quu = R + _mm(fuT, Vfu, nu, nx, nu)
+    Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
+    Qu = ru + _mv(fuT, Vx, nu, nx)
+    Qx = _mv(fxT, Vx, nx, nx)
+
+    rhs = jnp.concatenate([Qu, _transpose(Qxu, nx, nu)], axis=0)
+    sol, piv = _solve_track(Quu, rhs, nu, 1 + nx)
+    k = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)], axis=0)
+    K = -jnp.stack(
+        [sol[i_ * (1 + nx) + 1 + j] for i_ in range(nu) for j in range(nx)],
+        axis=0,
+    )
+    piv = jnp.minimum(piv, _pivots_only(R, nu))
+
+    Kk_o[0, 0] = jnp.concatenate([k, K], axis=0)
+    Vx_s[:] = Qx + _mv(Qxu, k, nx, nu)
+    Vxx_s[:] = Qxx + _mm(Qxu, K, nx, nu, nx)
+    dv_s[:] = dv_s[:] + (
+        _dot(k, Qu, nu) + 0.5 * _dot(k, _mv(Quu, k, nu, nu), nu)
+    )[None]
+    piv_s[:] = jnp.minimum(piv_s[:], piv[None])
+    cost_s[:] = cost_s[:] + cst[None]
+    hu_s[:] = jnp.maximum(hu_s[:], jnp.max(jnp.abs(ru), axis=0)[None])
+    lam_s[:] = lam_new
+
+    @pl.when(t == T - 1)
+    def _():
+        cost_o[0, 0] = cost_s[0]
+        dv_o[0, 0] = dv_s[0]
+        piv_o[0, 0] = piv_s[0]
+        hu_o[0, 0] = hu_s[0]
+
+
+def _fused_fwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
+    """Deviation rollout fused with trial cost/feasibility evaluation."""
+    x_ref, u_ref, xT_ref, bp_ref, Kk_ref = refs[:5]
+    cs_refs = refs[5:5 + n_cs]
+    ct_refs = refs[5 + n_cs:5 + n_cs + n_ct]
+    (tu_o, tx_o, txT_o, nc_o, mc_o) = refs[5 + n_cs + n_ct:
+                                           10 + n_cs + n_ct]
+    (dx_s, cost_s, mc_s) = refs[10 + n_cs + n_ct:]
+    cs = [r[0] for r in cs_refs]
+    ct = [r[0] for r in ct_refs]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dx_s[:] = jnp.zeros_like(dx_s)
+        cost_s[:] = jnp.zeros_like(cost_s)
+        mc_s[:] = jnp.full_like(mc_s, -jnp.inf)
+
+    x = x_ref[0, 0]
+    u = u_ref[0, 0]
+    bp = bp_ref[0, 0]
+    Kk = Kk_ref[0, 0]
+
+    tu, tx, dxn, cst, cmax = stage(x, u, bp, dx_s[:], Kk, *cs)
+    tu_o[0, 0] = tu
+    tx_o[0, 0] = tx
+    cost_s[:] = cost_s[:] + cst[None]
+    mc_s[:] = jnp.maximum(mc_s[:], cmax[None])
+    dx_s[:] = dxn
+
+    @pl.when(t == T - 1)
+    def _():
+        txT, cT = term(xT_ref[0], dx_s[:], *ct)
+        txT_o[0] = txT
+        nc_o[0, 0] = cost_s[0] + cT
+        mc_o[0, 0] = mc_s[0]
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+
+def _pack_vec(v, Bp, S):
+    """(B, k) -> (C, k, S, LANES)."""
+    B, k = v.shape
+    C = Bp // (S * LANES)
+    return jnp.moveaxis(
+        jnp.pad(jnp.moveaxis(v, 0, -1), ((0, 0), (0, Bp - B))).reshape(
+            k, C, S, LANES
+        ),
+        1, 0,
+    )
+
+
+def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
+                              sublanes: int = SUBLANES,
+                              interpret: bool = False):
+    """One fully-fused batched Newton iteration (two Pallas launches).
+
+    Shapes: x (B,T+1,nx), u (B,T,nu), bp (B,), reg (B,) — reg is the
+    Levenberg parameter already scaled by max(||cu||_F, floor).
+
+    Returns ``(temp_x, temp_u, cost, new_cost_raw, max_constraint, pred,
+    bwd_ok, Hu_norm)`` with temp_x (B,T+1,nx), temp_u (B,T,nu) and the rest
+    (B,).  The trial is feasible iff ``max_constraint <= 0``;
+    ``new_cost_raw`` is only meaningful for feasible trials (the barrier
+    logs are NaN beyond the boundary, reference par:159-163 semantics are
+    restored by the caller's ``where``).
+    """
+    B, Tp1, nx = x.shape
+    T = Tp1 - 1
+    nu = u.shape[-1]
+    dtype = u.dtype
+    S = sublanes
+    chunk = S * LANES
+    Bp = _ceil_to(B, chunk)
+    C = Bp // chunk
+    ng = (1 + nx) * nu
+
+    xs_p = _pack_s(x[:, :-1], Bp, S)
+    u_p = _pack_s(u, Bp, S)
+    xT_p = _pack_vec(x[:, -1], Bp, S)
+    bp_p = _pack_vec(bp[:, None], Bp, S)
+    reg_p = _pack_vec(reg[:, None], Bp, S)
+
+    sds = lambda shape: jax.ShapeDtypeStruct(shape, dtype)  # noqa: E731
+    stage_b, cs_b = _block_lift(
+        _stage_bwd_fn(ocp, nx, nu), sds((nx,)), sds((nu,)), sds(()),
+        sds((nx,)),
+    )
+    term_b, ct_b = _block_lift(_term_fn(ocp, nx), sds((nx,)))
+    stage_f, cs_f = _block_lift(
+        _stage_fwd_fn(ocp, nx, nu), sds((nx,)), sds((nu,)), sds(()),
+        sds((nx,)), sds((ng,)),
+    )
+    term_f, ct_f = _block_lift(_term_fwd_fn(ocp), sds((nx,)), sds((nx,)))
+
+    def const_spec(rows):
+        return pl.BlockSpec((1, rows, S, LANES), lambda b, t: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def rev_spec(rows):
+        return pl.BlockSpec((1, 1, rows, S, LANES),
+                            lambda b, t: (b, T - 1 - t, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def fwd_spec(rows):
+        return pl.BlockSpec((1, 1, rows, S, LANES),
+                            lambda b, t: (b, t, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bcast_spec(rows):
+        return pl.BlockSpec((1, rows, S, LANES), lambda b, t: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def scal_spec():
+        return pl.BlockSpec((1, 1, S, LANES), lambda b, t: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    bwd = functools.partial(
+        _fused_bwd_kernel, nx=nx, nu=nu, T=T,
+        stage=stage_b, term=term_b,
+        n_cs=len(cs_b), n_ct=len(ct_b),
+    )
+    with jax.enable_x64(False):
+        Kk, cost_p, dv_p, piv_p, hu_p = pl.pallas_call(
+            bwd,
+            grid=(C, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((C, T, ng, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+            ),
+            in_specs=[
+                rev_spec(nx), rev_spec(nu), bcast_spec(nx),
+                scal_spec(), scal_spec(),
+            ] + [const_spec(c.size) for c in cs_b]
+              + [const_spec(c.size) for c in ct_b],
+            out_specs=(
+                rev_spec(ng), scal_spec(), scal_spec(), scal_spec(),
+                scal_spec(),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nx * nx, S, LANES), dtype),
+                pltpu.VMEM((nx, S, LANES), dtype),
+                pltpu.VMEM((nx, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+            ],
+            interpret=interpret,
+        )(xs_p, u_p, xT_p, bp_p, reg_p,
+          *_pack_consts(cs_b, S), *_pack_consts(ct_b, S))
+
+        fwd = functools.partial(
+            _fused_fwd_kernel, nx=nx, nu=nu, T=T,
+            stage=stage_f, term=term_f,
+            n_cs=len(cs_f), n_ct=len(ct_f),
+        )
+        tu_p, tx_p, txT_p, nc_p, mc_p = pl.pallas_call(
+            fwd,
+            grid=(C, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((C, T, nu, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, nx, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+            ),
+            in_specs=[
+                fwd_spec(nx), fwd_spec(nu), bcast_spec(nx), scal_spec(),
+                fwd_spec(ng),
+            ] + [const_spec(c.size) for c in cs_f]
+              + [const_spec(c.size) for c in ct_f],
+            out_specs=(
+                fwd_spec(nu), fwd_spec(nx), bcast_spec(nx), scal_spec(),
+                scal_spec(),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nx, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+            ],
+            interpret=interpret,
+        )(xs_p, u_p, xT_p, bp_p, Kk,
+          *_pack_consts(cs_f, S), *_pack_consts(ct_f, S))
+
+    temp_u = _unpack_s(tu_p, B, (nu,))
+    tx_stages = _unpack_s(tx_p, B, (nx,))
+    txT = _unpack_s(txT_p[:, None], B, (nx,))[:, 0]
+    temp_x = jnp.concatenate([tx_stages, txT[:, None]], axis=1)
+
+    def _scal(p):
+        return _unpack_s(p[:, None], B, (1,))[:, 0, 0]
+
+    cost = _scal(cost_p)
+    new_cost_raw = _scal(nc_p)
+    max_c = _scal(mc_p)
+    pred = _scal(dv_p)
+    piv = _scal(piv_p)
+    hu = _scal(hu_p)
+    ok = jnp.isfinite(piv) & (piv > 0) & jnp.isfinite(pred)
+    return temp_x, temp_u, cost, new_cost_raw, max_c, pred, ok, hu
+
+
+# ---------------------------------------------------------------------------
+# Reference (unfused) composition + custom_vmap dispatch
+# ---------------------------------------------------------------------------
+
+
+def _fused_reference(ocp: OCP, x, u, bp, reg):
+    """Unbatched reference composition of the fused iteration.
+
+    Exactly the unfused pipeline (first-order derivatives -> sequential
+    costates -> Hamiltonian LQR -> regularized sequential trial -> trial
+    evaluation); the kernel must match this up to f32 summation order.
+    """
+    from ipoc_tpu.ops.derivatives import (
+        compute_first_order,
+        compute_hamiltonian_lqr,
+    )
+    from ipoc_tpu.problem import LinearizedOCP
+    from ipoc_tpu.solvers.ip_newton import _seq_trial_scan
+
+    d = compute_first_order(ocp, x, u, bp)
+    lam_T = jax.grad(ocp.final_cost)(x[-1])
+
+    def costate_step(lam, de):
+        cx, fx = de
+        lam_new = cx + fx.T @ lam
+        return lam_new, lam_new
+
+    _, lam_head = jax.lax.scan(
+        costate_step, lam_T, (d.cx, d.fx), reverse=True
+    )
+    lam = jnp.concatenate([lam_head, lam_T[None]], axis=0)
+    lin = compute_hamiltonian_lqr(ocp, x, u, lam, bp)
+    nu = u.shape[-1]
+    lin_reg = LinearizedOCP(
+        lin.r, lin.Q, lin.R + reg * jnp.eye(nu, dtype=u.dtype), lin.M
+    )
+    XT = jax.hessian(ocp.final_cost)(x[-1])
+    du, dx, pred, ok = _seq_trial_scan(lin_reg, d, XT)
+    temp_x = x + dx
+    temp_u = u + du
+    cost = ocp.total_cost(x, u, bp)
+    new_cost_raw = ocp.total_cost(temp_x, temp_u, bp)
+    max_c = jnp.max(jax.vmap(ocp.constraints)(temp_x[:-1], temp_u))
+    hu = jnp.max(jnp.abs(lin.r))
+    return temp_x, temp_u, cost, new_cost_raw, max_c, pred, ok, hu
+
+
+def use_fused_iter(dtype, nx: int) -> bool:
+    """Gate: the fused iteration kernel handles f32, small nx, on TPU."""
+    from ipoc_tpu.ops.pallas import use_pallas_scans
+
+    return use_pallas_scans(dtype, nx)
+
+
+def make_fused_iter(ocp: OCP):
+    """Per-lane fused-iteration op; under vmap dispatches ONE batched
+    two-launch Pallas program (or the vmapped reference composition where
+    the kernel gate is off — non-TPU backends, f64)."""
+
+    @jax.custom_batching.custom_vmap
+    def fused(x, u, bp, reg):
+        return _fused_reference(ocp, x, u, bp, reg)
+
+    @fused.def_vmap
+    def _fused_vmap(axis_size, in_batched, x, u, bp, reg):
+        from ipoc_tpu.ops.pallas.seq_newton_kernel import _broadcast_unbatched
+
+        x, u, bp, reg = _broadcast_unbatched(
+            axis_size, in_batched, (x, u, bp, reg)
+        )
+        nx = x.shape[-1]
+        if use_fused_iter(x.dtype, nx):
+            S = max(1, _stream_sublanes(axis_size))
+            out = fused_newton_iter_batched(ocp, x, u, bp, reg, sublanes=S)
+        else:
+            out = jax.vmap(
+                lambda a, b, c, d: _fused_reference(ocp, a, b, c, d)
+            )(x, u, bp, reg)
+        return out, (True,) * 8
+
+    return fused

@@ -36,7 +36,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import hessian, lax
+from jax import grad, hessian, lax
 
 from ipoc_tpu.config import DEFAULT_CONFIG, SolverConfig
 from ipoc_tpu.ops import linalg
@@ -151,6 +151,14 @@ def par_newton_step(ocp: OCP, x, d: Derivatives, rp, lin: LinearizedOCP,
     """
     from ipoc_tpu.ops.pallas import use_fused_newton, use_seq_newton
 
+    if cfg.newton_impl == "fused":
+        raise ValueError(
+            "newton_impl='fused' evaluates the whole trial in one fused "
+            "kernel and requires globalization='single' (the single-trial "
+            "staged or flat drivers); the retry loop re-solves with new "
+            "regularization, which the fused evaluation covers via "
+            "_trial_eval instead"
+        )
     lin_reg = _regularized(
         lin, d, rp, cfg.scale_reg_by_grad, cfg.reg_scale_floor
     )
@@ -288,6 +296,62 @@ def _newton_stage_par(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
     return x, u, iters
 
 
+def _trial_eval(ocp: OCP, x, u, bp, rp, cfg: SolverConfig):
+    """One Newton trial evaluation: ``(cost, temp_x, temp_u, pred,
+    bwd_feasible, Hu_norm, new_cost)``.
+
+    Shared by the single-trial staged stage and the flat-mode lane iteration
+    (the reference computes this block inline in every solver, seq:121-131).
+
+    ``cfg.newton_impl == "fused"`` routes the WHOLE evaluation — model
+    derivatives, costates, Riccati, trial rollout, both cost evaluations,
+    and the feasibility check — through the two-launch fused Pallas kernel
+    (ops/pallas/fused_iter_kernel.py) that re-derives the model in-kernel;
+    off-TPU (or f64) it falls back to an identical unfused composition.
+    """
+    if cfg.newton_impl == "fused":
+        from ipoc_tpu.ops.pallas.fused_iter_kernel import make_fused_iter
+
+        if cfg.terminal_hessian != "exact":
+            raise ValueError(
+                "newton_impl='fused' computes the terminal Hessian "
+                "in-kernel and requires terminal_hessian='exact'"
+            )
+        # Levenberg scale (reference par:116-118): ||cu||_F of the RAW cost
+        # gradient — the only stage quantity needed before the backward
+        # sweep, so it stays outside the kernel.
+        cu = jax.vmap(
+            lambda xx, uu: grad(ocp.stage_cost, 1)(xx, uu, bp)
+        )(x[:-1], u)
+        if cfg.scale_reg_by_grad:
+            reg = rp * jnp.maximum(
+                jnp.linalg.norm(cu),
+                jnp.asarray(cfg.reg_scale_floor, cu.dtype),
+            )
+        else:
+            reg = rp
+        fused = make_fused_iter(ocp)
+        (temp_x, temp_u, cost, nc_raw, max_c, pred, bwd_feasible,
+         Hu_norm) = fused(x, u, bp, reg)
+        new_cost = jnp.where(max_c <= 0.0, nc_raw, jnp.inf)
+        return cost, temp_x, temp_u, pred, bwd_feasible, Hu_norm, new_cost
+
+    cost = ocp.total_cost(x, u, bp)
+    d = compute_first_order(ocp, x, u, bp)
+    costates = _costates(ocp, x[-1], d, cfg)
+    lin = compute_hamiltonian_lqr(ocp, x, u, costates, bp)
+    dx, du, pred, bwd_feasible, Hu = par_newton_step(ocp, x, d, rp, lin, cfg)
+    Hu_norm = jnp.max(jnp.abs(Hu))
+    temp_x = x + dx
+    temp_u = u + du
+    new_cost = jnp.where(
+        check_feasibility(ocp, temp_x, temp_u),
+        ocp.total_cost(temp_x, temp_u, bp),
+        jnp.inf,
+    )
+    return cost, temp_x, temp_u, pred, bwd_feasible, Hu_norm, new_cost
+
+
 def _newton_stage_par_single(ocp: OCP, controls, initial_state, bp,
                              cfg: SolverConfig):
     """One barrier stage, parallel evaluator, single-trial globalization.
@@ -308,20 +372,8 @@ def _newton_stage_par_single(ocp: OCP, controls, initial_state, bp,
 
     def body(val):
         x, u, t, rp, r_inc, _ = val
-        cost = ocp.total_cost(x, u, bp)
-        d = compute_first_order(ocp, x, u, bp)
-        costates = _costates(ocp, x[-1], d, cfg)
-        lin = compute_hamiltonian_lqr(ocp, x, u, costates, bp)
-        dx, du, pred, bwd_feasible, Hu = par_newton_step(
-            ocp, x, d, rp, lin, cfg
-        )
-        Hu_norm = jnp.max(jnp.abs(Hu))
-        temp_x = x + dx
-        temp_u = u + du
-        new_cost = jnp.where(
-            check_feasibility(ocp, temp_x, temp_u),
-            ocp.total_cost(temp_x, temp_u, bp),
-            jnp.inf,
+        cost, temp_x, temp_u, pred, bwd_feasible, Hu_norm, new_cost = (
+            _trial_eval(ocp, x, u, bp, rp, cfg)
         )
         rho = gain_ratio(new_cost, cost, pred)
         accept = jnp.logical_and(rho > 0.0, bwd_feasible)
@@ -418,20 +470,8 @@ def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig) -> FlatLane:
     x, u, bp = lane.x, lane.u, lane.bp
     rp, r_inc = lane.rp, lane.r_inc
     dtype = u.dtype
-    cost = ocp.total_cost(x, u, bp)
-    d = compute_first_order(ocp, x, u, bp)
-    costates = _costates(ocp, x[-1], d, cfg)
-    lin = compute_hamiltonian_lqr(ocp, x, u, costates, bp)
-    dx, du, pred, bwd_feasible, Hu = par_newton_step(
-        ocp, x, d, rp, lin, cfg
-    )
-    Hu_norm = jnp.max(jnp.abs(Hu))
-    temp_x = x + dx
-    temp_u = u + du
-    new_cost = jnp.where(
-        check_feasibility(ocp, temp_x, temp_u),
-        ocp.total_cost(temp_x, temp_u, bp),
-        jnp.inf,
+    cost, temp_x, temp_u, pred, bwd_feasible, Hu_norm, new_cost = (
+        _trial_eval(ocp, x, u, bp, rp, cfg)
     )
     rho = gain_ratio(new_cost, cost, pred)
     accept = jnp.logical_and(rho > 0.0, bwd_feasible)
