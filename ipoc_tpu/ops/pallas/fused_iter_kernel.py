@@ -120,12 +120,32 @@ def _r_slice(eqn, vals, blk):
 
 def _r_pad(eqn, vals, blk):
     x, pv = vals
-    cfg = tuple(eqn.params["padding_config"]) + ((0, 0, 0), (0, 0, 0))
-    if not hasattr(pv, "ndim") or pv.ndim == 0:
-        # the pad value must be a scalar; blocked scalars are (S, L) —
-        # only constant pad values are supported here
-        return jax.lax.pad(x, pv, cfg)
-    raise NotImplementedError("pad with batched pad value in block_eval")
+    cfg = tuple(eqn.params["padding_config"])
+    if not hasattr(pv, "ndim") or jnp.ndim(pv) == 0:
+        return jax.lax.pad(x, pv, cfg + ((0, 0, 0), (0, 0, 0)))
+    # batched (per-lane) pad value — lax.pad needs a scalar, so build the
+    # padding blocks explicitly and concatenate along the leading dims
+    if any(i != 0 for _, _, i in cfg):
+        raise NotImplementedError(
+            "interior pad with batched pad value in block_eval")
+    if any(lo < 0 or hi < 0 for lo, hi, _ in cfg):
+        raise NotImplementedError(
+            "negative pad with batched pad value in block_eval")
+    out = x
+    for d, (lo, hi, _) in enumerate(cfg):
+        if lo == 0 and hi == 0:
+            continue
+        shp = list(out.shape)
+
+        def piece(n, shp=shp, d=d):
+            s = tuple(shp[:d] + [n] + shp[d + 1:])
+            return jnp.broadcast_to(
+                pv.reshape((1,) * (len(s) - 2) + tuple(blk)), s)
+
+        parts = ([piece(lo)] if lo else []) + [out] + (
+            [piece(hi)] if hi else [])
+        out = jnp.concatenate(parts, axis=d)
+    return out
 
 
 def _r_iota(eqn, vals, blk):
@@ -134,27 +154,34 @@ def _r_iota(eqn, vals, blk):
         out.reshape(out.shape + (1, 1)), out.shape + blk)
 
 
+def _fit_to(v, out_shape, blk):
+    """Broadcast a blocked/unblocked/scalar value to a full output block."""
+    a = jnp.asarray(v)
+    if tuple(a.shape) == out_shape:
+        return a
+    if a.ndim == 0:
+        return jnp.broadcast_to(a, out_shape)
+    if tuple(a.shape[-2:]) == tuple(blk):  # blocked, lower-rank aval
+        core = a.shape[:-2]
+        new = (1,) * (len(out_shape) - 2 - len(core)) + tuple(core) + \
+            tuple(blk)
+    else:  # unblocked: aval dims lead, tile dims appended
+        new = (1,) * (len(out_shape) - 2 - a.ndim) + tuple(a.shape) + (1, 1)
+    return jnp.broadcast_to(a.reshape(new), out_shape)
+
+
 def _r_select_n(eqn, vals, blk):
     # select_n is shape-strict: every operand must match the output block
     # (the pred may be a lower-rank — even scalar — aval in the jaxpr)
     out_shape = tuple(eqn.outvars[0].aval.shape) + blk
+    return jax.lax.select_n(*[_fit_to(v, out_shape, blk) for v in vals])
 
-    def fit(v):
-        a = jnp.asarray(v)
-        if tuple(a.shape) == out_shape:
-            return a
-        if a.ndim == 0:
-            return jnp.broadcast_to(a, out_shape)
-        if tuple(a.shape[-2:]) == tuple(blk):  # blocked, lower-rank aval
-            core = a.shape[:-2]
-            new = (1,) * (len(out_shape) - 2 - len(core)) + tuple(core) + \
-                tuple(blk)
-        else:  # unblocked: aval dims lead, tile dims appended
-            new = (1,) * (len(out_shape) - 2 - a.ndim) + tuple(a.shape) + \
-                (1, 1)
-        return jnp.broadcast_to(a.reshape(new), out_shape)
 
-    return jax.lax.select_n(*[fit(v) for v in vals])
+def _r_add_any(eqn, vals, blk):
+    # add_any (transpose-rule accumulation) is shape-strict as well
+    out_shape = tuple(eqn.outvars[0].aval.shape) + blk
+    a, b = (_fit_to(v, out_shape, blk) for v in vals)
+    return a + b
 
 
 def _r_call(eqn, vals, blk):
@@ -180,6 +207,7 @@ _RULES = {
     "pad": _r_pad,
     "iota": _r_iota,
     "select_n": _r_select_n,
+    "add_any": _r_add_any,
 }
 _CALLS = {"jit", "pjit", "custom_jvp_call", "custom_vjp_call",
           "custom_jvp_call_jaxpr", "closed_call", "core_call"}
@@ -240,7 +268,13 @@ def _run_eqns(eqns, env, blk):
                     if hasattr(v, "shape") and 0 < v.ndim < mx else v
                     for v in vals
                 ]
-                outs = eqn.primitive.bind(*vals, **eqn.params)
+                try:
+                    outs = eqn.primitive.bind(*vals, **eqn.params)
+                except Exception as e:
+                    raise NotImplementedError(
+                        f"block_eval: primitive {name!r} failed on blocked "
+                        f"shapes {[jnp.shape(v) for v in vals]}: {e}"
+                    ) from e
         if not eqn.primitive.multiple_results:
             outs = [outs]
         else:
@@ -412,23 +446,33 @@ def _stage_bwd_fn(ocp: OCP, nx: int, nu: int):
                 lam_next * ocp.dynamics(xx, uu)
             )
 
-        ru = jax.grad(ham, 1)(x, u)
-        Q = jax.jacfwd(jax.grad(ham, 0), 0)(x, u)
-        R = jax.jacfwd(jax.grad(ham, 1), 1)(x, u)
-        M = jax.jacfwd(jax.grad(ham, 0), 1)(x, u)
-        fx = jax.jacrev(ocp.dynamics, 0)(x, u)
-        fu = jax.jacrev(ocp.dynamics, 1)(x, u)
-        cx = jax.grad(ocp.stage_cost, 0)(x, u, bp)
-        lam = cx + jnp.sum(fx * lam_next[:, None], axis=0)
+        # One linearization of the Hamiltonian gradient serves everything:
+        # the primal IS (lam_new, ru) — Hx = cx + fx^T lam', Hu = cu +
+        # fu^T lam' — and nx+nu cheap applications of the linear jvp give
+        # the Hessian columns (Q | M | R), sharing the reverse pass that
+        # plain jacfwd-of-grad would re-trace per block.
+        (Hx, Hu), hjvp = jax.linearize(
+            lambda xx, uu: jax.grad(ham, (0, 1))(xx, uu), x, u
+        )
+        ex = jnp.eye(nx, dtype=x.dtype)
+        eu = jnp.eye(nu, dtype=u.dtype)
+        zx = jnp.zeros_like(x)
+        zu = jnp.zeros_like(u)
+        xcols = [hjvp(ex[i], zu) for i in range(nx)]
+        ucols = [hjvp(zx, eu[j]) for j in range(nu)]
+        Q = jnp.stack([c[0] for c in xcols], axis=1)
+        M = jnp.stack([c[0] for c in ucols], axis=1)
+        R = jnp.stack([c[1] for c in ucols], axis=1)
+        fx, fu = jax.jacrev(ocp.dynamics, (0, 1))(x, u)
         cst = ocp.stage_cost(x, u, bp)
         return (
-            ru,
+            Hu,
             Q.reshape(nx * nx),
             R.reshape(nu * nu),
             M.reshape(nx * nu),
             fx.reshape(nx * nx),
             fu.reshape(nx * nu),
-            lam,
+            Hx,
             cst,
         )
 
@@ -848,3 +892,100 @@ def make_fused_iter(ocp: OCP):
         return out, (True,) * 8
 
     return fused
+
+
+# ---------------------------------------------------------------------------
+# Fused nonlinear rollout (the remaining per-iteration XLA scan: each flat
+# stage transition re-rolls the trajectory through the true dynamics,
+# reference par:133)
+# ---------------------------------------------------------------------------
+
+
+def _rollout_kernel(u_ref, x0_ref, *refs, nx, nu, T, step, n_c):
+    c_refs = refs[:n_c]
+    xs_o = refs[n_c]
+    x_s = refs[n_c + 1]
+    cs = [r[0] for r in c_refs]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        x_s[:] = x0_ref[0]
+
+    xn = step(x_s[:], u_ref[0, 0], *cs)
+    xs_o[0, 0] = xn
+    x_s[:] = xn
+
+
+def rollout_batched(dynamics, controls, x0, sublanes: int = SUBLANES,
+                    interpret: bool = False):
+    """Batched open-loop rollout as ONE Pallas launch, dynamics traced
+    in-kernel.  Shapes: controls (B,T,nu), x0 (B,nx) -> (B,T+1,nx),
+    matching utils/integrators.rollout under vmap."""
+    B, T, nu = controls.shape
+    nx = x0.shape[-1]
+    dtype = controls.dtype
+    S = sublanes
+    chunk = S * LANES
+    Bp = _ceil_to(B, chunk)
+    C = Bp // chunk
+
+    sds = lambda shape: jax.ShapeDtypeStruct(shape, dtype)  # noqa: E731
+    step, consts = _block_lift(dynamics, sds((nx,)), sds((nu,)))
+
+    u_p = _pack_s(controls, Bp, S)
+    x0_p = _pack_vec(x0, Bp, S)
+
+    def fwd_spec(rows):
+        return pl.BlockSpec((1, 1, rows, S, LANES),
+                            lambda b, t: (b, t, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_rollout_kernel, nx=nx, nu=nu, T=T,
+                               step=step, n_c=len(consts))
+    with jax.enable_x64(False):
+        xs_p = pl.pallas_call(
+            kernel,
+            grid=(C, T),
+            out_shape=jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
+            in_specs=[
+                fwd_spec(nu),
+                pl.BlockSpec((1, nx, S, LANES), lambda b, t: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec((1, c.size, S, LANES),
+                             lambda b, t: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for c in consts
+            ],
+            out_specs=fwd_spec(nx),
+            scratch_shapes=[pltpu.VMEM((nx, S, LANES), dtype)],
+            interpret=interpret,
+        )(u_p, x0_p, *_pack_consts(consts, S))
+    tail = _unpack_s(xs_p, B, (nx,))
+    return jnp.concatenate([x0[:, None], tail], axis=1)
+
+
+def make_fused_rollout(ocp: OCP):
+    """Per-lane open-loop rollout; under vmap dispatches the one-launch
+    Pallas kernel (plain scan rollout off-TPU/f64)."""
+    from ipoc_tpu.utils.integrators import rollout
+
+    @jax.custom_batching.custom_vmap
+    def roll(u, x0):
+        return rollout(ocp.dynamics, u, x0)
+
+    @roll.def_vmap
+    def _roll_vmap(axis_size, in_batched, u, x0):
+        from ipoc_tpu.ops.pallas.seq_newton_kernel import _broadcast_unbatched
+
+        u, x0 = _broadcast_unbatched(axis_size, in_batched, (u, x0))
+        if use_fused_iter(u.dtype, x0.shape[-1]):
+            S = max(1, _stream_sublanes(axis_size))
+            out = rollout_batched(ocp.dynamics, u, x0, sublanes=S)
+        else:
+            out = jax.vmap(lambda uu, xx: rollout(ocp.dynamics, uu, xx))(
+                u, x0)
+        return out, True
+
+    return roll

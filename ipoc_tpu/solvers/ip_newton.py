@@ -434,10 +434,21 @@ class FlatLane(NamedTuple):
     done: jax.Array      # bool — solve complete (u holds the solution)
 
 
+def _lane_rollout(ocp: OCP, cfg: SolverConfig):
+    """Open-loop rollout for the flat-mode lane paths: with the fused
+    evaluator it is the last per-iteration XLA scan, so it dispatches to
+    the one-launch Pallas rollout kernel under vmap."""
+    if cfg.newton_impl == "fused":
+        from ipoc_tpu.ops.pallas.fused_iter_kernel import make_fused_rollout
+
+        return make_fused_rollout(ocp)
+    return lambda u, x0: rollout(ocp.dynamics, u, x0)
+
+
 def flat_lane_init(ocp: OCP, controls, initial_state, cfg: SolverConfig) -> FlatLane:
     """Open a flat-mode solve: rollout + non-finite warm-start guard."""
     dtype = controls.dtype
-    x0_traj = rollout(ocp.dynamics, controls, initial_state)
+    x0_traj = _lane_rollout(ocp, cfg)(controls, initial_state)
     start_ok = jnp.isfinite(
         ocp.total_cost(x0_traj, controls, jnp.asarray(cfg.bp_init, dtype))
     )
@@ -511,7 +522,7 @@ def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig) -> FlatLane:
     # nonlinear trajectory from the warm-started controls (staged parity:
     # each stage opens with `rollout`, par:133).
     roll = jnp.logical_and(advance, jnp.logical_not(done_now))
-    x = jnp.where(roll, rollout(ocp.dynamics, u, lane.x0), x)
+    x = jnp.where(roll, _lane_rollout(ocp, cfg)(u, lane.x0), x)
     bp = jnp.where(advance, bp_next, bp)
     rp = jnp.where(advance, jnp.asarray(cfg.reg_init, dtype), rp)
     r_inc = jnp.where(advance, jnp.asarray(cfg.reg_inc_init, dtype), r_inc)

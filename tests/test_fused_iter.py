@@ -100,6 +100,26 @@ def test_stream_with_fused_config():
                                   np.asarray(ref.iterations))
 
 
+@pytest.mark.parametrize("model", [cartpole, pendulum])
+def test_rollout_kernel_matches_scan(model):
+    """Interpret-mode one-launch rollout == vmapped lax.scan rollout."""
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import rollout_batched
+
+    T, B = 17, 3
+    ocp = model.make_ocp(1.0 / T)
+    x0 = model.initial_state(jnp.float32)
+    u0, x0b = make_batch(
+        jax.random.PRNGKey(2), x0, B, T, 1,
+        state_scale=0.05, control_scale=0.1, dtype=jnp.float32,
+    )
+    ref = jax.vmap(lambda u, x: rollout(ocp.dynamics, u, x))(u0, x0b)
+    with jax.enable_x64(False):
+        ker = rollout_batched(ocp.dynamics, u0, x0b, sublanes=1,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_fused_requires_exact_terminal_hessian():
     ocp = pendulum.make_ocp(0.02)
     cfg = SINGLE.replace(newton_impl="fused", terminal_hessian="reference")
