@@ -114,7 +114,9 @@ def solve_stream(
 
         # Inner loop: up to K bare Newton-advance steps (no capture/refill
         # machinery on this path), exiting early once every live lane is
-        # finished.  `active` is constant within the round.
+        # finished.  `active` is constant within the round.  (A plain
+        # fori_loop without the early-exit reduction measured 6% SLOWER
+        # end-to-end — the predicate pays for itself.)
         def inner_cond(c):
             ln, s = c
             return jnp.logical_and(
