@@ -55,7 +55,9 @@ from ipoc_tpu.solvers.batched import make_batch, solve_batch
 from ipoc_tpu.solvers.stream import solve_stream
 
 BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "2048"))
-POOL = int(os.environ.get("IPOC_BENCH_POOL", str(4 * BATCH)))
+# Deep pools amortize the stream's drain tail: steps/scenario falls toward
+# mean_iterations/lanes as generations grow (docs/PERFORMANCE.md).
+POOL = int(os.environ.get("IPOC_BENCH_POOL", str(32 * BATCH)))
 REPS = int(os.environ.get("IPOC_BENCH_REPS", "5"))
 HORIZON = int(os.environ.get("IPOC_BENCH_HORIZON", "100"))
 MODE = os.environ.get("IPOC_BENCH_MODE", "stream")
