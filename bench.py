@@ -50,9 +50,12 @@ def _sync(x):
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import ipoc_tpu
-from ipoc_tpu.models import cartpole
+from ipoc_tpu.models import cartpole, pendulum
 from ipoc_tpu.solvers.batched import make_batch, solve_batch
 from ipoc_tpu.solvers.stream import solve_stream
+
+MODELS = {"cartpole": cartpole, "pendulum": pendulum}
+MODEL = os.environ.get("IPOC_BENCH_MODEL", "cartpole")
 
 BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "2048"))
 # Deep pools amortize the stream's drain tail: steps/scenario falls toward
@@ -67,8 +70,9 @@ NORTH_STAR_PER_CHIP = 1e4 / 8.0
 
 
 def main():
-    ocp = cartpole.make_ocp(DT)
-    x0 = cartpole.initial_state(jnp.float32)
+    model = MODELS[MODEL]
+    ocp = model.make_ocp(DT)
+    x0 = model.initial_state(jnp.float32)
     n_scen = POOL if MODE == "stream" else BATCH
     u0, x0b = make_batch(
         jax.random.PRNGKey(1), x0, n_scen, HORIZON, 1,
@@ -104,7 +108,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"cartpole_h{HORIZON}_ip_solves_per_sec",
+                "metric": f"{MODEL}_h{HORIZON}_ip_solves_per_sec",
                 "value": round(solves_per_sec, 3),
                 "unit": "solves/s/chip",
                 "vs_baseline": round(solves_per_sec / NORTH_STAR_PER_CHIP, 4),
