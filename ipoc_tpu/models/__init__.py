@@ -1,1 +1,1 @@
-from ipoc_tpu.models import cartpole, double_integrator, pendulum
+from ipoc_tpu.models import cartpole, double_integrator, pendulum, quadrotor

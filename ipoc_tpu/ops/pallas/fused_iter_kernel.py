@@ -51,6 +51,7 @@ from ipoc_tpu.ops.pallas.seq_newton_kernel import (
     SUBLANES,
     _ceil_to,
     _dot,
+    _gain_rhs,
     _mm,
     _mv,
     _pack_s,
@@ -574,7 +575,7 @@ def _fused_bwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
     Qu = ru + _mv(fuT, Vx, nu, nx)
     Qx = _mv(fxT, Vx, nx, nx)
 
-    rhs = jnp.concatenate([Qu, _transpose(Qxu, nx, nu)], axis=0)
+    rhs = _gain_rhs(Qu, _transpose(Qxu, nx, nu), nx, nu)
     sol, piv = _solve_track(Quu, rhs, nu, 1 + nx)
     k = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)], axis=0)
     K = -jnp.stack(

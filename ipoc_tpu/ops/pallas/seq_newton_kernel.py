@@ -111,6 +111,21 @@ def _solve_track(LHS, RHS, n, m):
     return jnp.stack(b, axis=0), minpiv
 
 
+def _gain_rhs(Qu, QxuT, nx, nu):
+    """Row-major (nu, 1+nx) RHS [Qu | Qxu^T] for the gain solve.
+
+    Row r of the row-layout encodes entry (r // (1+nx), r % (1+nx)); a
+    plain concatenation of Qu's nu rows before Qxu^T's nu*nx rows only
+    coincides with that layout for nu == 1.
+    """
+    rows = []
+    for i in range(nu):
+        rows.append(Qu[i])
+        for j in range(nx):
+            rows.append(QxuT[i * nx + j])
+    return jnp.stack(rows, axis=0)
+
+
 def _pivots_only(A, n):
     """Minimum leading pivot of an unpivoted elimination (PD test)."""
     if n == 1:
@@ -174,7 +189,7 @@ def _seq_trial_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref, XT_ref,
         Qx = _mv(fxT, Vx, nx, nx)
 
         # Quu [k | K] = -[Qu | Qxu'] in one elimination, pivots tracked.
-        rhs = jnp.concatenate([Qu, _transpose(Qxu, nx, nu)], axis=0)
+        rhs = _gain_rhs(Qu, _transpose(Qxu, nx, nu), nx, nu)
         sol, piv = _solve_track(Quu, rhs, nu, 1 + nx)
         k = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)], axis=0)
         K = -jnp.stack(
@@ -273,7 +288,7 @@ def _seq_bwd_stream_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref,
     Qu = ru + _mv(fuT, Vx, nu, nx)
     Qx = _mv(fxT, Vx, nx, nx)
 
-    rhs = jnp.concatenate([Qu, _transpose(Qxu, nx, nu)], axis=0)
+    rhs = _gain_rhs(Qu, _transpose(Qxu, nx, nu), nx, nu)
     sol, piv = _solve_track(Quu, rhs, nu, 1 + nx)
     k = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)], axis=0)
     K = -jnp.stack(

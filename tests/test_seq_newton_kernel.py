@@ -109,6 +109,61 @@ def test_seq_costate_kernel_matches_scan():
         np.testing.assert_allclose(lam[b], lam_ref, atol=1e-5 * scale)
 
 
+@pytest.mark.parametrize("nx,nu", [(3, 2), (4, 3)])
+def test_trial_kernels_multi_input(nx, nu):
+    """nu > 1 regression: the gain-solve RHS must be interleaved row-major
+    (a plain [Qu; Qxu^T] concatenation only matches the row layout for
+    nu == 1 — latent until the first multi-input model)."""
+    from ipoc_tpu.ops.pallas.seq_newton_kernel import (
+        seq_newton_trial_batched,
+        seq_newton_trial_streamed,
+    )
+    from ipoc_tpu.problem import Derivatives, LinearizedOCP
+    from ipoc_tpu.solvers.ip_newton import _seq_trial_scan
+
+    B, T = 2, 7
+    ks = iter(jax.random.split(jax.random.PRNGKey(0), 10))
+
+    def rnd(*s):
+        return jax.random.normal(next(ks), s, jnp.float32) * 0.3
+
+    ru = rnd(B, T, nu)
+    A_ = rnd(B, T, nx, nx)
+    Q = A_ @ jnp.swapaxes(A_, -1, -2) + 2 * jnp.eye(nx, dtype=jnp.float32)
+    Br = rnd(B, T, nu, nu)
+    R = Br @ jnp.swapaxes(Br, -1, -2) + 2 * jnp.eye(nu, dtype=jnp.float32)
+    M = rnd(B, T, nx, nu) * 0.1
+    fx = rnd(B, T, nx, nx)
+    fu = rnd(B, T, nx, nu)
+    XTa = rnd(B, nx, nx)
+    XT = XTa @ jnp.swapaxes(XTa, -1, -2) + jnp.eye(nx, dtype=jnp.float32)
+
+    refs = [
+        _seq_trial_scan(
+            LinearizedOCP(ru[i], Q[i], R[i], M[i]),
+            Derivatives(None, None, None, None, None, fx[i], fu[i],
+                        None, None, None),
+            XT[i],
+        )
+        for i in range(B)
+    ]
+    du_r = jnp.stack([o[0] for o in refs])
+    dx_r = jnp.stack([o[1] for o in refs])
+    pred_r = jnp.stack([o[2] for o in refs])
+
+    with jax.enable_x64(False):
+        for fn in (
+            seq_newton_trial_batched,
+            lambda *a, **kw: seq_newton_trial_streamed(*a, sublanes=1, **kw),
+        ):
+            du_k, dx_k, pred_k, ok_k = fn(ru, Q, R, M, fx, fu, XT,
+                                          interpret=True)
+            np.testing.assert_allclose(du_k, du_r, atol=1e-5)
+            np.testing.assert_allclose(dx_k, dx_r, atol=1e-5)
+            np.testing.assert_allclose(pred_k, pred_r, atol=1e-5)
+            assert bool(jnp.all(ok_k))
+
+
 def test_solver_newton_impl_seq_agrees():
     """Full IP solve with newton_impl='seq' matches the default 'par' path."""
     ocp = pendulum.make_ocp(1.0 / 60)
