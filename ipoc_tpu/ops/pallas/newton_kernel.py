@@ -154,11 +154,16 @@ def _fused_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref, XT_ref,
     Quu = R + _mm(fuT, Sfu, nu, nx, nu)
     Qxu = M + _mm(fxT, Sfu, nx, nx, nu)
     qu = -_mv(R, s, nu, nu) - _mv(Mt, r, nu, nx) - _mv(fuT, v_next, nu, nx)
-    # Solve Quu [d | K] = [-qu | Qxu^T] in one elimination.
+    # Solve Quu [d | K] = [-qu | Qxu^T] in one elimination.  The RHS must be
+    # row-major (nu, 1+nx) — interleaved, NOT a plain concatenation (which
+    # only coincides for nu == 1; cf. seq_newton_kernel._gain_rhs).
     QxuT = _transpose(Qxu, nx, nu)
-    KD, piv_quu = _solve_track(
-        Quu, jnp.concatenate([-qu, QxuT], axis=-2), nu, 1 + nx
+    rhs = jnp.stack(
+        [(-qu[..., i, :] if j < 0 else QxuT[..., i * nx + j, :])
+         for i in range(nu) for j in range(-1, nx)],
+        axis=-2,
     )
+    KD, piv_quu = _solve_track(Quu, rhs, nu, 1 + nx)
     # Row-major (nu, 1+nx): column 0 is d, columns 1..nx are K.
     d_ff = jnp.stack([KD[..., i * (1 + nx) + 0, :] for i in range(nu)], axis=-2)
     K = jnp.stack(

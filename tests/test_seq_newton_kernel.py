@@ -163,6 +163,17 @@ def test_trial_kernels_multi_input(nx, nu):
             np.testing.assert_allclose(pred_k, pred_r, atol=1e-5)
             assert bool(jnp.all(ok_k))
 
+        # the parallel-in-time fused trial shares the gain-solve layout
+        from ipoc_tpu.ops.pallas.newton_kernel import fused_newton_step
+
+        for i in range(B):
+            du_k, dx_k, pred_k, ok_k = fused_newton_step(
+                ru[i], Q[i], R[i], M[i], fx[i], fu[i], XT[i],
+                interpret=True)
+            np.testing.assert_allclose(du_k, du_r[i], atol=1e-4)
+            np.testing.assert_allclose(dx_k, dx_r[i], atol=1e-4)
+            np.testing.assert_allclose(pred_k, pred_r[i], atol=1e-4)
+
 
 def test_solver_newton_impl_seq_agrees():
     """Full IP solve with newton_impl='seq' matches the default 'par' path."""
