@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", choices=["pendulum", "cartpole"], default="pendulum")
+    p.add_argument("--model", choices=["pendulum", "cartpole", "quadrotor"],
+               default="pendulum")
     p.add_argument("--solvers", default="par,seq,ddp")
     p.add_argument(
         "--horizons", default="20,40,80,100,200,400,800,1000",
@@ -47,10 +48,11 @@ def main():
     import jax.numpy as jnp
 
     import ipoc_tpu
-    from ipoc_tpu.models import cartpole, pendulum
+    from ipoc_tpu.models import cartpole, pendulum, quadrotor
     from ipoc_tpu.utils.timing import time_fn
 
-    model = pendulum if args.model == "pendulum" else cartpole
+    model = {"pendulum": pendulum, "cartpole": cartpole,
+             "quadrotor": quadrotor}[args.model]
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     solvers = {
         "par": ipoc_tpu.par_interior_point_optimal_control,
@@ -70,9 +72,13 @@ def main():
             dt = 1.0 / H  # reference: horizon * dt = 1 s
             ocp = model.make_ocp(dt)
             x0 = model.initial_state(dtype)
-            u0 = (
-                0.1 * jax.random.normal(jax.random.PRNGKey(1), (H, 1))
-            ).astype(dtype)
+            if args.model == "quadrotor":
+                # barrier-feasible hover warm start (thrust box excludes 0)
+                u0 = quadrotor.hover_controls(H, dtype)
+            else:
+                u0 = (
+                    0.1 * jax.random.normal(jax.random.PRNGKey(1), (H, 1))
+                ).astype(dtype)
             for name in wanted:
                 solver = solvers[name]
                 f = jax.jit(lambda u, x, s=solver: s(ocp, u, x, cfg)[0])
