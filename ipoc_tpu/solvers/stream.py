@@ -176,3 +176,40 @@ def solve_stream(
     _, _, _, _, out_u, out_it, steps, _ = lax.while_loop(
         outer_cond, outer_body, carry)
     return StreamSolution(out_u[:N], out_it[:N], steps)
+
+
+def solve_stream_sharded(
+    ocp: OCP,
+    controls,        # (N, T, nu) pool, N divisible by the mesh axis
+    initial_states,  # (N, nx)
+    mesh,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+    lanes: int = 2048,
+    refill_every: int = 16,
+    axis_name: str = "batch",
+) -> StreamSolution:
+    """Shard the scenario pool over a mesh axis; one stream per shard.
+
+    Streams are embarrassingly parallel (each device drains its own pool
+    slice with ``lanes`` resident lanes); the only collective cost is the
+    final gather of per-shard outputs.  ``steps`` returns the MAXIMUM
+    lockstep step count over shards (the slowest shard bounds wall clock).
+    """
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(u0, x0):
+        sol = solve_stream(ocp, u0, x0, cfg, lanes=lanes,
+                           refill_every=refill_every)
+        steps = jax.lax.pmax(sol.steps, axis_name)
+        return sol.controls, sol.iterations, steps
+
+    u, iters, steps = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name, None, None), P(axis_name, None)),
+        out_specs=(P(axis_name, None, None), P(axis_name), P()),
+        check_vma=False,
+    )(controls, initial_states)
+    return StreamSolution(u, iters, steps)

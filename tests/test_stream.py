@@ -91,6 +91,32 @@ def test_stream_bad_warm_start_lane():
     assert int(sol.iterations[2]) == 0
 
 
+def test_stream_sharded_matches_local(scenario_pool):
+    """Per-shard streams over a 4-device mesh reproduce the per-scenario
+    solutions of a single local stream (pool order is shard-major)."""
+    from ipoc_tpu.parallel.sharding import make_mesh
+    from ipoc_tpu.solvers.stream import solve_stream_sharded
+
+    ocp, u0, x0b = scenario_pool
+    # 8 scenarios over 4 shards (2 each)
+    u8 = jnp.concatenate([u0, u0[:1]], axis=0)
+    x8 = jnp.concatenate([x0b, x0b[:1]], axis=0)
+    mesh = make_mesh(batch=4)
+    sol = jax.jit(
+        lambda u, x: solve_stream_sharded(ocp, u, x, mesh, CFG, lanes=2)
+    )(u8, x8)
+    ref = jax.jit(
+        lambda u, x: solve_stream(ocp, u, x, CFG, lanes=2)
+    )(u8[:2], x8[:2])  # first shard's pool, same lane count
+    np.testing.assert_allclose(np.asarray(sol.controls[:2]),
+                               np.asarray(ref.controls),
+                               rtol=1e-12, atol=1e-12)
+    flat = _flat_reference(ocp, u8[2:4], x8[2:4])
+    np.testing.assert_allclose(np.asarray(sol.controls[2:4]), flat[0],
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(sol.iterations[2:4]), flat[1])
+
+
 def test_stream_requires_single_globalization():
     ocp = pendulum.make_ocp(0.02)
     with pytest.raises(ValueError, match="single"):
