@@ -14,13 +14,13 @@ Here the whole iteration is TWO Pallas launches that read only the iterate
 
 * **backward launch** — one stage per grid step, newest-to-oldest.  At each
   stage the model's first- and second-order stage data are computed on the
-  fly by JAX AD *inside* the kernel (``jax.grad``/``jax.jacfwd``/
-  ``jax.jacrev`` of the user's ``stage_cost``/``dynamics``, double-vmapped
-  over the (sublane, lane) axes so every generated primitive is an
-  elementwise Mosaic op on (S, 128) tiles), then consumed immediately by the
-  costate recursion (lam = cx + fx^T lam') and the Riccati recursion —
-  nothing but the gains ever reaches HBM.  The launch also accumulates the
-  current total cost and the Hamiltonian-gradient convergence norm
+  fly by JAX AD *inside* the kernel (``jax.linearize`` of the Hamiltonian
+  gradient + ``jax.jacrev`` of the dynamics, replayed on (S, 128) tiles by
+  the block interpreter below so every generated primitive is an
+  elementwise Mosaic op), then consumed immediately by the costate
+  recursion (the Hamiltonian-gradient primal IS lam_new and ru) and the
+  Riccati recursion — nothing but the gains ever reaches HBM.  The launch
+  also accumulates the current total cost and the convergence norm
   ``max_t |ru|`` on the fly.
 * **forward launch** — closed-loop deviation rollout (fx, fu re-derived
   in-kernel) fused with the trial evaluation: emits the trial iterate
@@ -80,10 +80,6 @@ from ipoc_tpu.problem import OCP
 # shape-parameterized primitives (reshape, transpose, broadcast, slice, pad)
 # need their parameters extended over the trailing tile.
 # ---------------------------------------------------------------------------
-
-
-def _blk_of(aval_shape, val):
-    return val.shape[len(val.shape) - 2:] if hasattr(val, "shape") else ()
 
 
 def _r_broadcast_in_dim(eqn, vals, blk):
