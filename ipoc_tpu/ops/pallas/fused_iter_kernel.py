@@ -315,6 +315,49 @@ def _block_eval(jaxpr, consts, blk, *args, block_outputs=True):
     return outs
 
 
+def _cse(eqns):
+    """Deduplicate structurally identical equations.
+
+    Two eqns merge when they apply the same primitive with the same params
+    to the same (substitution-resolved) inputs.  Safe for this pure-math
+    jaxpr set; params are compared by their string form (conservative:
+    identical prints + identical inputs => identical outputs).
+    Returns ``(new_eqns, outvar_substitution)``.
+    """
+    Literal = jax.extend.core.Literal
+    subst, seen, out = {}, {}, []
+
+    def lit_key(a):
+        v = a.val
+        return ("lit", str(getattr(v, "dtype", type(v).__name__)),
+                tuple(getattr(v, "shape", ())),
+                v.tobytes() if hasattr(v, "tobytes") else v)
+
+    for eqn in eqns:
+        ins = [a if isinstance(a, Literal) else subst.get(a, a)
+               for a in eqn.invars]
+        try:
+            key = (
+                eqn.primitive.name,
+                tuple(lit_key(a) if isinstance(a, Literal) else id(a)
+                      for a in ins),
+                tuple(sorted((k, str(v)) for k, v in eqn.params.items())),
+            )
+            hash(key)
+        except Exception:
+            key = None
+        if key is not None and key in seen:
+            for old, new in zip(eqn.outvars, seen[key]):
+                subst[old] = new
+            continue
+        if any(a is not b for a, b in zip(ins, eqn.invars)):
+            eqn = eqn.replace(invars=ins)
+        out.append(eqn)
+        if key is not None:
+            seen[key] = list(eqn.outvars)
+    return out, subst
+
+
 def _block_lift(fn, *example_args):
     """Lift a per-element function to (S, LANES)-trailing blocks.
 
@@ -363,14 +406,30 @@ def _block_lift(fn, *example_args):
             folded.add(i)
     eqns = [e for i, e in enumerate(jaxpr.eqns) if i not in folded]
 
-    # 2. surviving constants: folded values read by remaining eqns/outputs
+    # 2. common-subexpression elimination (to fixpoint: each merge can
+    # expose its consumers as duplicates).  The stage jaxpr concatenates
+    # several independent AD traces (linearize primal+jvps, jacrev of the
+    # dynamics, the raw cost evaluation) which recompute shared primal
+    # subexpressions (trig, denominators, ...).  XLA's CSE would fold them;
+    # the block interpreter replays eqns verbatim, so dedupe here.
+    outmap = {}
+    while True:
+        eqns, sub = _cse(eqns)
+        if not sub:
+            break
+        outmap = {k: sub.get(v, v) for k, v in outmap.items()}
+        outmap.update(sub)
+
+    # 3. surviving constants: folded values read by remaining eqns/outputs
+    outvars = [outmap.get(v, v) if not isinstance(v, Literal) else v
+               for v in jaxpr.outvars]
     order, seen = [], set()
     for e in eqns:
         for a in e.invars:
             if not isinstance(a, Literal) and a in conc and a not in seen:
                 seen.add(a)
                 order.append(a)
-    for a in jaxpr.outvars:
+    for a in outvars:
         if not isinstance(a, Literal) and a in conc and a not in seen:
             seen.add(a)
             order.append(a)
@@ -399,7 +458,7 @@ def _block_lift(fn, *example_args):
             return env[v]
 
         outs = []
-        for v in jaxpr.outvars:
+        for v in outvars:
             o = read(v)
             if not (hasattr(o, "shape")
                     and tuple(o.shape) == tuple(v.aval.shape) + blk):
