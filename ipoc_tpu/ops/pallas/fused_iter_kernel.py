@@ -472,6 +472,24 @@ def _block_lift(fn, *example_args):
     return blocked, consts
 
 
+def _lift(fn, *example_args):
+    """Preferred lifting: scalar-DAG (ops/pallas/scalarize.py — one-hot AD
+    basis zeros fold away, scalar-granularity CSE, every emitted op a single
+    (S, LANES) vreg op), falling back to vector block lifting for jaxprs the
+    scalar interpreter does not cover.  ``IPOC_SCALARIZE=0`` forces the
+    block-lift path."""
+    import os
+
+    if os.environ.get("IPOC_SCALARIZE", "1") != "0":
+        from ipoc_tpu.ops.pallas.scalarize import scalar_lift
+
+        try:
+            return scalar_lift(fn, *example_args)
+        except NotImplementedError:
+            pass
+    return _block_lift(fn, *example_args)
+
+
 def _pack_consts(consts, S):
     """Broadcast hoisted constants to (1, size, S, LANES) kernel inputs."""
     out = []
@@ -745,16 +763,16 @@ def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
     reg_p = _pack_vec(reg[:, None], Bp, S)
 
     sds = lambda shape: jax.ShapeDtypeStruct(shape, dtype)  # noqa: E731
-    stage_b, cs_b = _block_lift(
+    stage_b, cs_b = _lift(
         _stage_bwd_fn(ocp, nx, nu), sds((nx,)), sds((nu,)), sds(()),
         sds((nx,)),
     )
-    term_b, ct_b = _block_lift(_term_fn(ocp, nx), sds((nx,)))
-    stage_f, cs_f = _block_lift(
+    term_b, ct_b = _lift(_term_fn(ocp, nx), sds((nx,)))
+    stage_f, cs_f = _lift(
         _stage_fwd_fn(ocp, nx, nu), sds((nx,)), sds((nu,)), sds(()),
         sds((nx,)), sds((ng,)),
     )
-    term_f, ct_f = _block_lift(_term_fwd_fn(ocp), sds((nx,)), sds((nx,)))
+    term_f, ct_f = _lift(_term_fwd_fn(ocp), sds((nx,)), sds((nx,)))
 
     def const_spec(rows):
         return pl.BlockSpec((1, rows, S, LANES), lambda b, t: (0, 0, 0, 0),
@@ -987,7 +1005,7 @@ def rollout_batched(dynamics, controls, x0, sublanes: int = SUBLANES,
     C = Bp // chunk
 
     sds = lambda shape: jax.ShapeDtypeStruct(shape, dtype)  # noqa: E731
-    step, consts = _block_lift(dynamics, sds((nx,)), sds((nu,)))
+    step, consts = _lift(dynamics, sds((nx,)), sds((nu,)))
 
     u_p = _pack_s(controls, Bp, S)
     x0_p = _pack_vec(x0, Bp, S)
