@@ -113,6 +113,19 @@ class SolverConfig:
     #           identical unfused composition.
     newton_impl: str = "par"
 
+    # Continuation predictor across barrier stages (flat mode / stream only;
+    # deviation from the reference, which warm-starts each stage with the
+    # previous stage's controls unchanged, par:236-237).  On a stage
+    # transition bp -> bp/decay, extrapolate along the central path:
+    # ``u_pred = u_k + (u_k - u_{k-1}) / bp_decay`` (first-order predictor in
+    # bp — exact in the asymptotic regime where the path is affine in bp),
+    # then keep whichever of {u_pred, u_k} has the lower barrier cost at the
+    # new bp (an infeasible/overflowing prediction has NaN/Inf cost and is
+    # always rejected).  Converged solutions are unchanged (same stage
+    # tolerances); only the warm-start point differs.  Applied from the
+    # second transition on (the first has no on-path predecessor).
+    stage_predictor: bool = False
+
     # --- semantics switches ---
     # Reference par/ddp scale the regularizer by ||cu|| (par:116-118,
     # ddp:34-35); the seq solver adds it unscaled (seq:51).

@@ -1040,6 +1040,293 @@ def rollout_batched(dynamics, controls, x0, sublanes: int = SUBLANES,
     return jnp.concatenate([x0[:, None], tail], axis=1)
 
 
+def _stage_roll_cost_fn(ocp: OCP):
+    """Per-element rollout step fused with the stage cost evaluation."""
+
+    def stage(x, u, bp):
+        return ocp.dynamics(x, u), ocp.stage_cost(x, u, bp)
+
+    return stage
+
+
+def _rollout_cost_kernel(u_ref, x0_ref, bp_ref, *refs,
+                         nx, nu, T, step, term, n_c, n_ct):
+    c_refs = refs[:n_c]
+    ct_refs = refs[n_c:n_c + n_ct]
+    xs_o, cost_o = refs[n_c + n_ct:n_c + n_ct + 2]
+    x_s, cost_s = refs[n_c + n_ct + 2:]
+    cs = [r[0] for r in c_refs]
+    ct = [r[0] for r in ct_refs]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        x_s[:] = x0_ref[0]
+        cost_s[:] = jnp.zeros_like(cost_s)
+
+    xn, cst = step(x_s[:], u_ref[0, 0], bp_ref[0, 0], *cs)
+    xs_o[0, 0] = xn
+    cost_s[:] = cost_s[:] + cst[None]
+    x_s[:] = xn
+
+    @pl.when(t == T - 1)
+    def _():
+        cost_o[0, 0] = cost_s[0] + term(xn, *ct)
+
+
+def rollout_cost_batched(ocp: OCP, controls, x0, bp,
+                         sublanes: int = SUBLANES, interpret: bool = False):
+    """Batched open-loop rollout fused with the barrier total cost, ONE
+    Pallas launch.  Shapes: controls (B,T,nu), x0 (B,nx), bp (B,) ->
+    ``(states (B,T+1,nx), total_cost (B,))`` matching
+    ``rollout`` + ``ocp.total_cost`` under vmap (an infeasible trajectory
+    yields NaN/Inf cost through the barrier logs)."""
+    B, T, nu = controls.shape
+    nx = x0.shape[-1]
+    dtype = controls.dtype
+    S = sublanes
+    chunk = S * LANES
+    Bp = _ceil_to(B, chunk)
+    C = Bp // chunk
+
+    sds = lambda shape: jax.ShapeDtypeStruct(shape, dtype)  # noqa: E731
+    step, consts = _lift(_stage_roll_cost_fn(ocp), sds((nx,)), sds((nu,)),
+                         sds(()))
+    term, ct = _lift(ocp.final_cost, sds((nx,)))
+
+    u_p = _pack_s(controls, Bp, S)
+    x0_p = _pack_vec(x0, Bp, S)
+    bp_p = _pack_vec(bp[:, None], Bp, S)
+
+    def fwd_spec(rows):
+        return pl.BlockSpec((1, 1, rows, S, LANES),
+                            lambda b, t: (b, t, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bcast_spec(rows):
+        return pl.BlockSpec((1, rows, S, LANES), lambda b, t: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def scal_spec():
+        return pl.BlockSpec((1, 1, S, LANES), lambda b, t: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _rollout_cost_kernel, nx=nx, nu=nu, T=T, step=step, term=term,
+        n_c=len(consts), n_ct=len(ct),
+    )
+    with jax.enable_x64(False):
+        xs_p, cost_p = pl.pallas_call(
+            kernel,
+            grid=(C, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+            ),
+            in_specs=[fwd_spec(nu), bcast_spec(nx), scal_spec()] + [
+                pl.BlockSpec((1, c.size, S, LANES),
+                             lambda b, t: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for c in list(consts) + list(ct)
+            ],
+            out_specs=(fwd_spec(nx), scal_spec()),
+            scratch_shapes=[
+                pltpu.VMEM((nx, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+            ],
+            interpret=interpret,
+        )(u_p, x0_p, bp_p, *_pack_consts(list(consts) + list(ct), S))
+    tail = _unpack_s(xs_p, B, (nx,))
+    states = jnp.concatenate([x0[:, None], tail], axis=1)
+    cost = _unpack_s(cost_p[:, None], B, (1,))[:, 0, 0]
+    return states, cost
+
+
+def _stage_transition_fn(ocp: OCP):
+    """Two candidate rollout steps + stage costs in one per-element body
+    (the stage-predictor transition: plain warm start vs extrapolated)."""
+
+    def stage(xa, xb, u, up, bp):
+        return (
+            ocp.dynamics(xa, u),
+            ocp.dynamics(xb, up),
+            ocp.stage_cost(xa, u, bp),
+            ocp.stage_cost(xb, up, bp),
+        )
+
+    return stage
+
+
+def _transition_kernel(u_ref, up_ref, x0_ref, bp_ref, *refs,
+                       nx, nu, T, step, term, n_c, n_ct):
+    c_refs = refs[:n_c]
+    ct_refs = refs[n_c:n_c + n_ct]
+    xa_o, xb_o, ca_o, cb_o = refs[n_c + n_ct:n_c + n_ct + 4]
+    xa_s, xb_s, ca_s, cb_s = refs[n_c + n_ct + 4:]
+    cs = [r[0] for r in c_refs]
+    ct = [r[0] for r in ct_refs]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        xa_s[:] = x0_ref[0]
+        xb_s[:] = x0_ref[0]
+        ca_s[:] = jnp.zeros_like(ca_s)
+        cb_s[:] = jnp.zeros_like(cb_s)
+
+    xan, xbn, csta, cstb = step(
+        xa_s[:], xb_s[:], u_ref[0, 0], up_ref[0, 0], bp_ref[0, 0], *cs
+    )
+    xa_o[0, 0] = xan
+    xb_o[0, 0] = xbn
+    ca_s[:] = ca_s[:] + csta[None]
+    cb_s[:] = cb_s[:] + cstb[None]
+    xa_s[:] = xan
+    xb_s[:] = xbn
+
+    @pl.when(t == T - 1)
+    def _():
+        ca_o[0, 0] = ca_s[0] + term(xan, *ct)
+        cb_o[0, 0] = cb_s[0] + term(xbn, *ct)
+
+
+def transition_batched(ocp: OCP, controls, controls_pred, x0, bp,
+                       sublanes: int = SUBLANES, interpret: bool = False):
+    """Both stage-transition candidates (plain warm start + central-path
+    prediction) rolled out with their barrier total costs in ONE Pallas
+    launch.  Shapes: controls/controls_pred (B,T,nu), x0 (B,nx), bp (B,) ->
+    ``(x_plain (B,T+1,nx), x_pred (B,T+1,nx), cost_plain (B,),
+    cost_pred (B,))``."""
+    B, T, nu = controls.shape
+    nx = x0.shape[-1]
+    dtype = controls.dtype
+    S = sublanes
+    chunk = S * LANES
+    Bp = _ceil_to(B, chunk)
+    C = Bp // chunk
+
+    sds = lambda shape: jax.ShapeDtypeStruct(shape, dtype)  # noqa: E731
+    step, consts = _lift(_stage_transition_fn(ocp), sds((nx,)), sds((nx,)),
+                         sds((nu,)), sds((nu,)), sds(()))
+    term, ct = _lift(ocp.final_cost, sds((nx,)))
+
+    u_p = _pack_s(controls, Bp, S)
+    up_p = _pack_s(controls_pred, Bp, S)
+    x0_p = _pack_vec(x0, Bp, S)
+    bp_p = _pack_vec(bp[:, None], Bp, S)
+
+    def fwd_spec(rows):
+        return pl.BlockSpec((1, 1, rows, S, LANES),
+                            lambda b, t: (b, t, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bcast_spec(rows):
+        return pl.BlockSpec((1, rows, S, LANES), lambda b, t: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def scal_spec():
+        return pl.BlockSpec((1, 1, S, LANES), lambda b, t: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _transition_kernel, nx=nx, nu=nu, T=T, step=step, term=term,
+        n_c=len(consts), n_ct=len(ct),
+    )
+    with jax.enable_x64(False):
+        xa_p, xb_p, ca_p, cb_p = pl.pallas_call(
+            kernel,
+            grid=(C, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+            ),
+            in_specs=[fwd_spec(nu), fwd_spec(nu), bcast_spec(nx),
+                      scal_spec()] + [
+                pl.BlockSpec((1, c.size, S, LANES),
+                             lambda b, t: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for c in list(consts) + list(ct)
+            ],
+            out_specs=(fwd_spec(nx), fwd_spec(nx), scal_spec(), scal_spec()),
+            scratch_shapes=[
+                pltpu.VMEM((nx, S, LANES), dtype),
+                pltpu.VMEM((nx, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+            ],
+            interpret=interpret,
+        )(u_p, up_p, x0_p, bp_p, *_pack_consts(list(consts) + list(ct), S))
+
+    def _states(p):
+        tail = _unpack_s(p, B, (nx,))
+        return jnp.concatenate([x0[:, None], tail], axis=1)
+
+    def _scal(p):
+        return _unpack_s(p[:, None], B, (1,))[:, 0, 0]
+
+    return _states(xa_p), _states(xb_p), _scal(ca_p), _scal(cb_p)
+
+
+def make_fused_transition(ocp: OCP):
+    """Per-lane two-candidate transition op; under vmap ONE Pallas launch
+    (plain scans + total_cost off-TPU/f64)."""
+    from ipoc_tpu.utils.integrators import rollout
+
+    def reference(u, up, x0, bp):
+        xa = rollout(ocp.dynamics, u, x0)
+        xb = rollout(ocp.dynamics, up, x0)
+        return xa, xb, ocp.total_cost(xa, u, bp), ocp.total_cost(xb, up, bp)
+
+    @jax.custom_batching.custom_vmap
+    def trans(u, up, x0, bp):
+        return reference(u, up, x0, bp)
+
+    @trans.def_vmap
+    def _trans_vmap(axis_size, in_batched, u, up, x0, bp):
+        from ipoc_tpu.ops.pallas.seq_newton_kernel import _broadcast_unbatched
+
+        u, up, x0, bp = _broadcast_unbatched(
+            axis_size, in_batched, (u, up, x0, bp))
+        if use_fused_iter(u.dtype, x0.shape[-1]):
+            S = max(1, _stream_sublanes(axis_size))
+            out = transition_batched(ocp, u, up, x0, bp, sublanes=S)
+        else:
+            out = jax.vmap(reference)(u, up, x0, bp)
+        return out, (True,) * 4
+
+    return trans
+
+
+def make_fused_rollout_cost(ocp: OCP):
+    """Per-lane (rollout, barrier total cost) op; under vmap dispatches the
+    one-launch fused kernel (plain scan + total_cost off-TPU/f64)."""
+    from ipoc_tpu.utils.integrators import rollout
+
+    def reference(u, x0, bp):
+        x = rollout(ocp.dynamics, u, x0)
+        return x, ocp.total_cost(x, u, bp)
+
+    @jax.custom_batching.custom_vmap
+    def roll_cost(u, x0, bp):
+        return reference(u, x0, bp)
+
+    @roll_cost.def_vmap
+    def _roll_cost_vmap(axis_size, in_batched, u, x0, bp):
+        from ipoc_tpu.ops.pallas.seq_newton_kernel import _broadcast_unbatched
+
+        u, x0, bp = _broadcast_unbatched(axis_size, in_batched, (u, x0, bp))
+        if use_fused_iter(u.dtype, x0.shape[-1]):
+            S = max(1, _stream_sublanes(axis_size))
+            out = rollout_cost_batched(ocp, u, x0, bp, sublanes=S)
+        else:
+            out = jax.vmap(reference)(u, x0, bp)
+        return out, (True, True)
+
+    return roll_cost
+
+
 def make_fused_rollout(ocp: OCP):
     """Per-lane open-loop rollout; under vmap dispatches the one-launch
     Pallas kernel (plain scan rollout off-TPU/f64)."""

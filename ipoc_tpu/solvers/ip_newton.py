@@ -426,6 +426,7 @@ class FlatLane(NamedTuple):
     x0: jax.Array        # (nx,) scenario initial state
     x: jax.Array         # (T+1, nx) current trajectory
     u: jax.Array         # (T, nu) current controls
+    u_prev: jax.Array    # (T, nu) previous stage's converged controls
     it: jax.Array        # i32 total Newton iterations on this scenario
     stage_it: jax.Array  # i32 iterations within the current barrier stage
     rp: jax.Array        # LM regularization
@@ -445,6 +446,24 @@ def _lane_rollout(ocp: OCP, cfg: SolverConfig):
     return lambda u, x0: rollout(ocp.dynamics, u, x0)
 
 
+def _lane_transition(ocp: OCP, cfg: SolverConfig):
+    """Two-candidate stage transition (plain warm start + central-path
+    prediction), both rollouts and barrier costs in ONE Pallas launch on the
+    fused path — so the stage predictor costs no extra launch over the plain
+    per-iteration transition rollout."""
+    if cfg.newton_impl == "fused":
+        from ipoc_tpu.ops.pallas.fused_iter_kernel import make_fused_transition
+
+        return make_fused_transition(ocp)
+
+    def f(u, up, x0, bp):
+        xa = rollout(ocp.dynamics, u, x0)
+        xb = rollout(ocp.dynamics, up, x0)
+        return xa, xb, ocp.total_cost(xa, u, bp), ocp.total_cost(xb, up, bp)
+
+    return f
+
+
 def flat_lane_init(ocp: OCP, controls, initial_state, cfg: SolverConfig) -> FlatLane:
     """Open a flat-mode solve: rollout + non-finite warm-start guard."""
     dtype = controls.dtype
@@ -456,6 +475,7 @@ def flat_lane_init(ocp: OCP, controls, initial_state, cfg: SolverConfig) -> Flat
         x0=initial_state,
         x=x0_traj,
         u=controls,
+        u_prev=controls,
         it=jnp.asarray(0, jnp.int32),
         stage_it=jnp.asarray(0, jnp.int32),
         rp=jnp.asarray(cfg.reg_init, dtype),
@@ -522,13 +542,35 @@ def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig) -> FlatLane:
     # nonlinear trajectory from the warm-started controls (staged parity:
     # each stage opens with `rollout`, par:133).
     roll = jnp.logical_and(advance, jnp.logical_not(done_now))
-    x = jnp.where(roll, _lane_rollout(ocp, cfg)(u, lane.x0), x)
+    u_prev = jnp.where(roll, u, lane.u_prev)
+    if cfg.stage_predictor:
+        # Continuation predictor (SolverConfig.stage_predictor): extrapolate
+        # the central path, keep whichever candidate has the lower barrier
+        # cost at the new bp.  NaN/Inf predicted cost (infeasible or
+        # diverging rollout) loses every comparison; the plain warm start is
+        # feasible by construction (feasibility is bp-independent).
+        gamma = jnp.asarray(1.0 / cfg.bp_decay, dtype)
+        u_pred = u + gamma * (u - lane.u_prev)
+        x_plain, x_pred, c_plain, c_pred = _lane_transition(ocp, cfg)(
+            u, u_pred, lane.x0, bp_next
+        )
+        # Only from the second transition on: at the first, u_prev is the
+        # initial guess, which is not a central-path point.
+        on_path = bp < jnp.asarray(cfg.bp_init, dtype)
+        take = jnp.logical_and(
+            roll, jnp.logical_and(on_path, c_pred < c_plain)
+        )
+        x = jnp.where(take, x_pred, jnp.where(roll, x_plain, x))
+        u = jnp.where(take, u_pred, u)
+    else:
+        x = jnp.where(roll, _lane_rollout(ocp, cfg)(u, lane.x0), x)
     bp = jnp.where(advance, bp_next, bp)
     rp = jnp.where(advance, jnp.asarray(cfg.reg_init, dtype), rp)
     r_inc = jnp.where(advance, jnp.asarray(cfg.reg_inc_init, dtype), r_inc)
     stage_it = jnp.where(advance, jnp.asarray(0, jnp.int32), lane.stage_it + 1)
     return FlatLane(
-        x0=lane.x0, x=x, u=u, it=lane.it + 1, stage_it=stage_it,
+        x0=lane.x0, x=x, u=u, u_prev=u_prev, it=lane.it + 1,
+        stage_it=stage_it,
         rp=rp, r_inc=r_inc, bp=bp, done=jnp.logical_or(lane.done, done_now),
     )
 

@@ -134,3 +134,27 @@ def test_fused_requires_single_globalization():
     with pytest.raises(ValueError, match="single"):
         jax.jit(lambda u, x: solve_batch(ocp, u, x, cfg))(
             jnp.zeros((2, 10, 1)), jnp.zeros((2, 2)))
+
+
+@pytest.mark.parametrize("model", [cartpole, pendulum])
+def test_rollout_cost_kernel_matches_composition(model):
+    """Interpret-mode rollout+cost kernel == scan rollout + total_cost."""
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import rollout_cost_batched
+
+    T, B = 13, 3
+    ocp = model.make_ocp(1.0 / T)
+    x0 = model.initial_state(jnp.float32)
+    u0, x0b = make_batch(
+        jax.random.PRNGKey(4), x0, B, T, 1,
+        state_scale=0.05, control_scale=0.1, dtype=jnp.float32,
+    )
+    bp = jnp.full((B,), 0.05, jnp.float32)
+    ref_x = jax.vmap(lambda u, x: rollout(ocp.dynamics, u, x))(u0, x0b)
+    ref_c = jax.vmap(ocp.total_cost)(ref_x, u0, bp)
+    with jax.enable_x64(False):
+        ker_x, ker_c = rollout_cost_batched(ocp, u0, x0b, bp, sublanes=1,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(ker_x), np.asarray(ref_x),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ker_c), np.asarray(ref_c),
+                               rtol=2e-5, atol=2e-5)

@@ -124,3 +124,31 @@ def test_stream_requires_single_globalization():
             ocp, jnp.zeros((2, 10, 1)), jnp.zeros((2, 2)),
             ipoc_tpu.FAST_CONFIG,
         )
+
+
+def test_stage_predictor_same_optimum_fewer_iters(scenario_pool):
+    """SolverConfig.stage_predictor extrapolates the central path at barrier
+    stage transitions: converged raw costs must match the plain schedule to
+    solver tolerance while total Newton iterations drop."""
+    from ipoc_tpu.utils.integrators import rollout
+
+    ocp, u0, x0b = scenario_pool
+    base = CFG.replace(newton_impl="fused", pred_floor=1e-9)
+    off = jax.jit(lambda u, x: solve_stream(ocp, u, x, base, lanes=4))(
+        u0, x0b)
+    on = jax.jit(lambda u, x: solve_stream(
+        ocp, u, x, base.replace(stage_predictor=True), lanes=4))(u0, x0b)
+
+    def raw_costs(sol):
+        bp = jnp.asarray(1e-9, jnp.float64)
+        return np.array([
+            float(ocp.total_cost(
+                rollout(ocp.dynamics, sol.controls[i], x0b[i]),
+                sol.controls[i], bp))
+            for i in range(u0.shape[0])
+        ])
+
+    c_off, c_on = raw_costs(off), raw_costs(on)
+    np.testing.assert_allclose(c_on, c_off, rtol=1e-4)
+    assert int(np.sum(np.asarray(on.iterations))) < int(
+        np.sum(np.asarray(off.iterations)))
