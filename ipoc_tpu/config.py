@@ -113,6 +113,16 @@ class SolverConfig:
     #           identical unfused composition.
     newton_impl: str = "par"
 
+    # LM reset value at barrier-stage transitions in flat/stream mode
+    # (None -> reg_init, reference parity: each newton_oc call restarts at
+    # rp0, par:134-135).  Cold-start presets set reg_init large (heavy
+    # damping pays off on the first stage) but later stages open
+    # warm-started near their optimum, where a large reset just burns
+    # ~log(reg_init/useful)/log(3) accepted iterations shrinking it back
+    # down — give them a small reset instead.  Flat/stream only (the staged
+    # drivers keep reference semantics).
+    reg_stage_init: Optional[float] = None
+
     # Continuation predictor across barrier stages (flat mode / stream only;
     # deviation from the reference, which warm-starts each stage with the
     # previous stage's controls unchanged, par:236-237).  On a stage
@@ -177,7 +187,13 @@ FAST_CONFIG = SolverConfig(
 # ~42-floats-per-stage Newton stage data; measured +16% stream throughput
 # over "seq" at B=2048, docs/PERFORMANCE.md).  Off-TPU it falls back to the
 # identical unfused composition.
+# stage_predictor + reg_stage_init: cold-start stage transitions extrapolate
+# the central path and restart the LM damping small (the warm-started stage
+# is near its optimum; resetting to reg_init=100 burns ~10 accepted
+# iterations shrinking it back).  Measured on the cartpole H=100 cold-start
+# stream: mean iterations 147.4 -> 122.9 with converged raw costs unchanged
+# (docs/PERFORMANCE.md).
 BATCH_CONFIG = FAST_CONFIG.replace(
     globalization="single", newton_impl="fused", pred_floor=1e-7,
-    reg_init=100.0,
+    reg_init=100.0, stage_predictor=True, reg_stage_init=0.1,
 )

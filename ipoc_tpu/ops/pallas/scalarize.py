@@ -204,6 +204,22 @@ class _Builder:
         hit, val = self._simplify(name, params, args)
         if hit:
             return val
+        # strength reduction: TPU divide costs several multiplies
+        if name == "div" and _is_const(args[1]):
+            c = args[1]
+            if c != 0 and math.isfinite(c) and math.isfinite(1.0 / c):
+                return self.op(_lax_prim("mul"), {}, (args[0], 1.0 / c),
+                               in_dtypes, out_dtype)
+        if name == "integer_pow" and params.get("y") in (2, 3, 4):
+            y = params["y"]
+            mul = _lax_prim("mul")
+            dts = (in_dtypes[0], in_dtypes[0])
+            sq = self.op(mul, {}, (args[0], args[0]), dts, out_dtype)
+            if y == 2:
+                return sq
+            if y == 3:
+                return self.op(mul, {}, (sq, args[0]), dts, out_dtype)
+            return self.op(mul, {}, (sq, sq), dts, out_dtype)
         kargs = tuple(_ckey(a) if _is_const(a) else id(a) for a in args)
         if name in _COMMUTATIVE:
             kargs = tuple(sorted(kargs, key=repr))

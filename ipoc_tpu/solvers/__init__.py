@@ -8,4 +8,9 @@ from ipoc_tpu.solvers.ip_newton import (
     seq_fwd_newton,
     seq_interior_point_optimal_control,
 )
-from ipoc_tpu.solvers.stream import StreamSolution, solve_stream
+from ipoc_tpu.solvers.stream import (
+    MultigridSolution,
+    StreamSolution,
+    solve_stream,
+    solve_stream_multigrid,
+)

@@ -464,12 +464,23 @@ def _lane_transition(ocp: OCP, cfg: SolverConfig):
     return f
 
 
-def flat_lane_init(ocp: OCP, controls, initial_state, cfg: SolverConfig) -> FlatLane:
-    """Open a flat-mode solve: rollout + non-finite warm-start guard."""
+def flat_lane_init(ocp: OCP, controls, initial_state, cfg: SolverConfig,
+                   bp0=None, rp0=None) -> FlatLane:
+    """Open a flat-mode solve: rollout + non-finite warm-start guard.
+
+    ``bp0``/``rp0`` optionally override ``cfg.bp_init``/``cfg.reg_init`` per
+    lane (the multigrid stream re-enters the barrier schedule at a smaller
+    bp with light LM damping for scenarios with a feasible interpolated
+    warm start, while infeasible ones keep the cold-start settings,
+    solvers/stream.py)."""
     dtype = controls.dtype
+    if bp0 is None:
+        bp0 = jnp.asarray(cfg.bp_init, dtype)
+    if rp0 is None:
+        rp0 = jnp.asarray(cfg.reg_init, dtype)
     x0_traj = _lane_rollout(ocp, cfg)(controls, initial_state)
     start_ok = jnp.isfinite(
-        ocp.total_cost(x0_traj, controls, jnp.asarray(cfg.bp_init, dtype))
+        ocp.total_cost(x0_traj, controls, bp0)
     )
     return FlatLane(
         x0=initial_state,
@@ -478,9 +489,9 @@ def flat_lane_init(ocp: OCP, controls, initial_state, cfg: SolverConfig) -> Flat
         u_prev=controls,
         it=jnp.asarray(0, jnp.int32),
         stage_it=jnp.asarray(0, jnp.int32),
-        rp=jnp.asarray(cfg.reg_init, dtype),
+        rp=jnp.asarray(rp0, dtype),
         r_inc=jnp.asarray(cfg.reg_inc_init, dtype),
-        bp=jnp.asarray(cfg.bp_init, dtype),
+        bp=jnp.asarray(bp0, dtype),
         done=jnp.logical_not(start_ok),
     )
 
@@ -565,7 +576,9 @@ def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig) -> FlatLane:
     else:
         x = jnp.where(roll, _lane_rollout(ocp, cfg)(u, lane.x0), x)
     bp = jnp.where(advance, bp_next, bp)
-    rp = jnp.where(advance, jnp.asarray(cfg.reg_init, dtype), rp)
+    stage_reg = (cfg.reg_init if cfg.reg_stage_init is None
+                 else cfg.reg_stage_init)
+    rp = jnp.where(advance, jnp.asarray(stage_reg, dtype), rp)
     r_inc = jnp.where(advance, jnp.asarray(cfg.reg_inc_init, dtype), r_inc)
     stage_it = jnp.where(advance, jnp.asarray(0, jnp.int32), lane.stage_it + 1)
     return FlatLane(
