@@ -13,15 +13,22 @@ denominator used for ``vs_baseline`` is the BASELINE.json north-star target
 pro-rated to one chip: 1e4 solves/s on a v5p-16 (8 chips) => 1250 solves/s
 per chip.  vs_baseline > 1 beats the per-chip north star.
 
-The headline configuration streams a pool of IPOC_BENCH_POOL scenarios
-through IPOC_BENCH_BATCH resident lanes (solvers/stream.py): converged lanes
-are refilled from the pool every IPOC_BENCH_REFILL steps, so the batch pays
-~mean per-scenario iterations instead of the lockstep maximum.  Set
-IPOC_BENCH_MODE=batch for the plain vmapped solver.
+The headline configuration is the multigrid-in-time stream
+(solvers/stream.py solve_stream_multigrid): the scenario pool is solved on
+a 4x-coarser time grid first (cold-start stage-1 work, ~66% of iterations,
+runs at 1/4 cost per iteration), interpolated, and re-entered into the
+barrier schedule on the fine grid; both levels stream the pool through
+IPOC_BENCH_BATCH resident lanes with converged lanes refilled every
+IPOC_BENCH_REFILL steps.  Solutions satisfy the same final-stage
+convergence criteria as the single-grid stream (docs/PERFORMANCE.md
+documents the local-basin caveat on nonconvex scenarios).  Set
+IPOC_BENCH_MODE=stream for the single-grid stream or =batch for the plain
+vmapped solver.
 
 Env knobs: IPOC_BENCH_BATCH (default 2048 lanes), IPOC_BENCH_POOL (default
-4x lanes), IPOC_BENCH_REPS (default 5), IPOC_BENCH_HORIZON (default 100),
-IPOC_BENCH_MODE (stream|batch), IPOC_BENCH_REFILL (default 16).
+32x lanes), IPOC_BENCH_REPS (default 5), IPOC_BENCH_HORIZON (default 100),
+IPOC_BENCH_MODE (mg|stream|batch), IPOC_BENCH_REFILL (default 16),
+IPOC_BENCH_COARSEN (default 4).
 """
 
 import json
@@ -52,7 +59,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import ipoc_tpu
 from ipoc_tpu.models import cartpole, pendulum
 from ipoc_tpu.solvers.batched import make_batch, solve_batch
-from ipoc_tpu.solvers.stream import solve_stream
+from ipoc_tpu.solvers.stream import solve_stream, solve_stream_multigrid
 
 MODELS = {"cartpole": cartpole, "pendulum": pendulum}
 MODEL = os.environ.get("IPOC_BENCH_MODEL", "cartpole")
@@ -63,7 +70,8 @@ BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "2048"))
 POOL = int(os.environ.get("IPOC_BENCH_POOL", str(32 * BATCH)))
 REPS = int(os.environ.get("IPOC_BENCH_REPS", "5"))
 HORIZON = int(os.environ.get("IPOC_BENCH_HORIZON", "100"))
-MODE = os.environ.get("IPOC_BENCH_MODE", "stream")
+MODE = os.environ.get("IPOC_BENCH_MODE", "mg")
+COARSEN = int(os.environ.get("IPOC_BENCH_COARSEN", "4"))
 REFILL = int(os.environ.get("IPOC_BENCH_REFILL", "16"))
 DT = 1.0 / HORIZON  # reference sweep keeps H * dt = 1 s
 NORTH_STAR_PER_CHIP = 1e4 / 8.0
@@ -73,7 +81,7 @@ def main():
     model = MODELS[MODEL]
     ocp = model.make_ocp(DT)
     x0 = model.initial_state(jnp.float32)
-    n_scen = POOL if MODE == "stream" else BATCH
+    n_scen = POOL if MODE in ("stream", "mg") else BATCH
     u0, x0b = make_batch(
         jax.random.PRNGKey(1), x0, n_scen, HORIZON, 1,
         state_scale=0.01, control_scale=0.1, dtype=jnp.float32,
@@ -82,7 +90,12 @@ def main():
     if os.environ.get("IPOC_BENCH_BARRIER"):
         cfg = cfg.replace(barrier_mode=os.environ["IPOC_BENCH_BARRIER"])
 
-    if MODE == "stream":
+    if MODE == "mg":
+        ocp_c = model.make_ocp(DT * COARSEN)
+        step = jax.jit(lambda u, x: solve_stream_multigrid(
+            ocp, ocp_c, COARSEN, u, x, cfg, lanes=BATCH,
+            refill_every=REFILL))
+    elif MODE == "stream":
         step = jax.jit(lambda u, x: solve_stream(
             ocp, u, x, cfg, lanes=BATCH, refill_every=REFILL))
     else:
