@@ -64,6 +64,7 @@ def solve_stream(
     refill_every: int = 16,
     bp_init=None,    # optional (N,) per-scenario barrier start (else cfg's)
     rp_init=None,    # optional (N,) per-scenario initial LM damping
+    inner_unroll: int = 1,
 ) -> StreamSolution:
     """Solve N scenarios with B = min(lanes, N) resident lanes, refilling.
 
@@ -110,6 +111,7 @@ def solve_stream(
     out_it0 = jnp.zeros((N + 1,), jnp.int32)
     gens = (N + B - 1) // B
     K = max(1, refill_every)
+    unroll = max(1, min(inner_unroll, K))
     # Outer-iteration backstop: every outer round either advances at least
     # one lane-iteration (inner ran >= 1 step; total bounded by the flat cap
     # per scenario-generation, with one idle generation of slack for
@@ -124,7 +126,13 @@ def solve_stream(
         # machinery on this path), exiting early once every live lane is
         # finished.  `active` is constant within the round.  (A plain
         # fori_loop without the early-exit reduction measured 6% SLOWER
-        # end-to-end — the predicate pays for itself.)
+        # end-to-end — the predicate pays for itself.)  The body can advance
+        # ``inner_unroll`` masked sub-steps per while iteration (per-lane
+        # results unchanged; early-exit granularity coarsens).  Measured:
+        # unrolling does NOT pay on this platform (1/2/4/8 -> 153.2/149.1/
+        # 130.3/142.5k solves/s) — a micro-probe had suggested a large fixed
+        # per-while-iteration cost, but end-to-end the unrolled bodies are
+        # slower; default stays 1.
         def inner_cond(c):
             ln, s = c
             return jnp.logical_and(
@@ -134,8 +142,10 @@ def solve_stream(
 
         def inner_body(c):
             ln, s = c
-            adv = jnp.logical_and(active, jnp.logical_not(ln.done))
-            return _select(adv, step(ln), ln), s + 1
+            for _ in range(unroll):
+                adv = jnp.logical_and(active, jnp.logical_not(ln.done))
+                ln = _select(adv, step(ln), ln)
+            return ln, s + unroll
 
         lanes, dt = lax.while_loop(
             inner_cond, inner_body, (lanes, jnp.asarray(0, jnp.int32))
@@ -206,6 +216,7 @@ def solve_stream_multigrid(
     refill_every: int = 16,
     fine_bp_init: float = 0.02,
     fine_reg_init: float = 1.0,
+    inner_unroll: int = 1,
 ) -> MultigridSolution:
     """Coarse-to-fine (multigrid-in-time) streaming solve.
 
@@ -239,7 +250,8 @@ def solve_stream_multigrid(
     from ipoc_tpu.utils.integrators import rollout
 
     sol_c = solve_stream(ocp_coarse, controls[:, ::coarsen], initial_states,
-                         cfg, lanes=lanes, refill_every=refill_every)
+                         cfg, lanes=lanes, refill_every=refill_every,
+                         inner_unroll=inner_unroll)
     u_warm = jnp.repeat(sol_c.controls, coarsen, axis=1)
 
     def feasible(u, x0):
@@ -255,7 +267,7 @@ def solve_stream_multigrid(
                     jnp.asarray(cfg.reg_init, controls.dtype))
     sol_f = solve_stream(ocp, u_start, initial_states, cfg, lanes=lanes,
                          refill_every=refill_every, bp_init=bp0,
-                         rp_init=rp0)
+                         rp_init=rp0, inner_unroll=inner_unroll)
     return MultigridSolution(
         controls=sol_f.controls,
         iterations=sol_f.iterations,
