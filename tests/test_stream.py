@@ -152,3 +152,18 @@ def test_stage_predictor_same_optimum_fewer_iters(scenario_pool):
     np.testing.assert_allclose(c_on, c_off, rtol=1e-4)
     assert int(np.sum(np.asarray(on.iterations))) < int(
         np.sum(np.asarray(off.iterations)))
+
+
+def test_stream_inner_unroll_same_results(scenario_pool):
+    """inner_unroll only re-quantizes the inner loop; per-scenario results
+    are bit-identical."""
+    ocp, u0, x0b = scenario_pool
+    ref = jax.jit(lambda u, x: solve_stream(ocp, u, x, CFG, lanes=3))(
+        u0, x0b)
+    un = jax.jit(lambda u, x: solve_stream(
+        ocp, u, x, CFG, lanes=3, inner_unroll=4))(u0, x0b)
+    np.testing.assert_allclose(np.asarray(un.controls),
+                               np.asarray(ref.controls),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(un.iterations),
+                                  np.asarray(ref.iterations))
