@@ -43,7 +43,6 @@ par_interior_point_newton.py:159-163).
 
 from __future__ import annotations
 
-import itertools
 import math
 
 import jax
