@@ -505,6 +505,39 @@ def _pack_consts(consts, S):
 
 
 
+
+def _fwd_spec(rows, S):
+    """(1, 1, rows, S, LANES) block walking the time axis forward."""
+    return pl.BlockSpec((1, 1, rows, S, LANES),
+                        lambda b, t: (b, t, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _rev_spec(rows, S, T):
+    """(1, 1, rows, S, LANES) block walking the time axis newest-to-oldest."""
+    return pl.BlockSpec((1, 1, rows, S, LANES),
+                        lambda b, t: (b, T - 1 - t, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _bcast_spec(rows, S):
+    """Per-batch-block (1, rows, S, LANES) block, constant over time."""
+    return pl.BlockSpec((1, rows, S, LANES), lambda b, t: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _scal_spec(S):
+    """Per-lane scalar block (1, 1, S, LANES), constant over time."""
+    return pl.BlockSpec((1, 1, S, LANES), lambda b, t: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _const_spec(rows, S):
+    """Hoisted-constant block, shared by every grid step."""
+    return pl.BlockSpec((1, rows, S, LANES), lambda b, t: (0, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _stage_bwd_fn(ocp: OCP, nx: int, nu: int):
     """Per-element backward stage data (blocked by :func:`_blocked`).
 
@@ -774,27 +807,11 @@ def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
     )
     term_f, ct_f = _lift(_term_fwd_fn(ocp), sds((nx,)), sds((nx,)))
 
-    def const_spec(rows):
-        return pl.BlockSpec((1, rows, S, LANES), lambda b, t: (0, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def rev_spec(rows):
-        return pl.BlockSpec((1, 1, rows, S, LANES),
-                            lambda b, t: (b, T - 1 - t, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def fwd_spec(rows):
-        return pl.BlockSpec((1, 1, rows, S, LANES),
-                            lambda b, t: (b, t, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def bcast_spec(rows):
-        return pl.BlockSpec((1, rows, S, LANES), lambda b, t: (b, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def scal_spec():
-        return pl.BlockSpec((1, 1, S, LANES), lambda b, t: (b, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    const_spec = lambda rows: _const_spec(rows, S)      # noqa: E731
+    rev_spec = lambda rows: _rev_spec(rows, S, T)       # noqa: E731
+    fwd_spec = lambda rows: _fwd_spec(rows, S)          # noqa: E731
+    bcast_spec = lambda rows: _bcast_spec(rows, S)      # noqa: E731
+    scal_spec = lambda: _scal_spec(S)                   # noqa: E731
 
     bwd = functools.partial(
         _fused_bwd_kernel, nx=nx, nu=nu, T=T,
@@ -1010,10 +1027,7 @@ def rollout_batched(dynamics, controls, x0, sublanes: int = SUBLANES,
     u_p = _pack_s(controls, Bp, S)
     x0_p = _pack_vec(x0, Bp, S)
 
-    def fwd_spec(rows):
-        return pl.BlockSpec((1, 1, rows, S, LANES),
-                            lambda b, t: (b, t, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    fwd_spec = lambda rows: _fwd_spec(rows, S)          # noqa: E731
 
     kernel = functools.partial(_rollout_kernel, nx=nx, nu=nu, T=T,
                                step=step, n_c=len(consts))
@@ -1050,7 +1064,7 @@ def _stage_roll_cost_fn(ocp: OCP):
 
 
 def _rollout_cost_kernel(u_ref, x0_ref, bp_ref, *refs,
-                         nx, nu, T, step, term, n_c, n_ct):
+                         T, step, term, n_c, n_ct):
     c_refs = refs[:n_c]
     ct_refs = refs[n_c:n_c + n_ct]
     xs_o, cost_o = refs[n_c + n_ct:n_c + n_ct + 2]
@@ -1098,21 +1112,12 @@ def rollout_cost_batched(ocp: OCP, controls, x0, bp,
     x0_p = _pack_vec(x0, Bp, S)
     bp_p = _pack_vec(bp[:, None], Bp, S)
 
-    def fwd_spec(rows):
-        return pl.BlockSpec((1, 1, rows, S, LANES),
-                            lambda b, t: (b, t, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def bcast_spec(rows):
-        return pl.BlockSpec((1, rows, S, LANES), lambda b, t: (b, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def scal_spec():
-        return pl.BlockSpec((1, 1, S, LANES), lambda b, t: (b, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    fwd_spec = lambda rows: _fwd_spec(rows, S)          # noqa: E731
+    bcast_spec = lambda rows: _bcast_spec(rows, S)      # noqa: E731
+    scal_spec = lambda: _scal_spec(S)                   # noqa: E731
 
     kernel = functools.partial(
-        _rollout_cost_kernel, nx=nx, nu=nu, T=T, step=step, term=term,
+        _rollout_cost_kernel, T=T, step=step, term=term,
         n_c=len(consts), n_ct=len(ct),
     )
     with jax.enable_x64(False):
@@ -1158,7 +1163,7 @@ def _stage_transition_fn(ocp: OCP):
 
 
 def _transition_kernel(u_ref, up_ref, x0_ref, bp_ref, *refs,
-                       nx, nu, T, step, term, n_c, n_ct):
+                       T, step, term, n_c, n_ct):
     c_refs = refs[:n_c]
     ct_refs = refs[n_c:n_c + n_ct]
     xa_o, xb_o, ca_o, cb_o = refs[n_c + n_ct:n_c + n_ct + 4]
@@ -1215,21 +1220,12 @@ def transition_batched(ocp: OCP, controls, controls_pred, x0, bp,
     x0_p = _pack_vec(x0, Bp, S)
     bp_p = _pack_vec(bp[:, None], Bp, S)
 
-    def fwd_spec(rows):
-        return pl.BlockSpec((1, 1, rows, S, LANES),
-                            lambda b, t: (b, t, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def bcast_spec(rows):
-        return pl.BlockSpec((1, rows, S, LANES), lambda b, t: (b, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def scal_spec():
-        return pl.BlockSpec((1, 1, S, LANES), lambda b, t: (b, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    fwd_spec = lambda rows: _fwd_spec(rows, S)          # noqa: E731
+    bcast_spec = lambda rows: _bcast_spec(rows, S)      # noqa: E731
+    scal_spec = lambda: _scal_spec(S)                   # noqa: E731
 
     kernel = functools.partial(
-        _transition_kernel, nx=nx, nu=nu, T=T, step=step, term=term,
+        _transition_kernel, T=T, step=step, term=term,
         n_c=len(consts), n_ct=len(ct),
     )
     with jax.enable_x64(False):

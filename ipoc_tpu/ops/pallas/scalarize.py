@@ -46,6 +46,7 @@ from __future__ import annotations
 import math
 
 import jax
+import jax.extend  # noqa: F401  (jax.extend.core is not auto-registered)
 import numpy as np
 from jax import lax
 
@@ -150,7 +151,7 @@ class _Builder:
     # -- simplification -----------------------------------------------------
 
     @staticmethod
-    def _simplify(name, params, args):
+    def _simplify(name, params, args, in_dtypes):
         """Identity returns (True, value); no-simplification (False, None)."""
         if name in ("add", "sub", "mul", "div", "max", "min"):
             a, b = args
@@ -179,7 +180,9 @@ class _Builder:
                     return True, 0.0
         elif name == "select_n" and _is_const(args[0]):
             return True, args[1 + int(args[0])]
-        elif name in ("and", "or"):
+        elif name in ("and", "or") and all(
+                np.dtype(d) == np.bool_ for d in in_dtypes):
+            # boolean only: lax and/or are BITWISE on integers
             a, b = args
             for c, x in ((a, b), (b, a)):
                 if _is_const(c):
@@ -200,11 +203,14 @@ class _Builder:
         if all(_is_const(a) for a in args):
             self.n_folded += 1
             return self._fold(name, prim, params, args, in_dtypes, out_dtype)
-        hit, val = self._simplify(name, params, args)
+        hit, val = self._simplify(name, params, args, in_dtypes)
         if hit:
             return val
-        # strength reduction: TPU divide costs several multiplies
-        if name == "div" and _is_const(args[1]):
+        # strength reduction: TPU divide costs several multiplies.
+        # Floating only: lax.div on integers is truncating division.
+        if name == "div" and _is_const(args[1]) and all(
+                np.issubdtype(np.dtype(d), np.floating)
+                for d in list(in_dtypes) + [out_dtype]):
             c = args[1]
             if c != 0 and math.isfinite(c) and math.isfinite(1.0 / c):
                 return self.op(_lax_prim("mul"), {}, (args[0], 1.0 / c),

@@ -432,6 +432,7 @@ class FlatLane(NamedTuple):
     rp: jax.Array        # LM regularization
     r_inc: jax.Array     # LM growth factor
     bp: jax.Array        # barrier parameter
+    bp0: jax.Array       # the lane's STARTING barrier parameter (predictor gate)
     done: jax.Array      # bool — solve complete (u holds the solution)
 
 
@@ -492,6 +493,7 @@ def flat_lane_init(ocp: OCP, controls, initial_state, cfg: SolverConfig,
         rp=jnp.asarray(rp0, dtype),
         r_inc=jnp.asarray(cfg.reg_inc_init, dtype),
         bp=jnp.asarray(bp0, dtype),
+        bp0=jnp.asarray(bp0, dtype),
         done=jnp.logical_not(start_ok),
     )
 
@@ -566,8 +568,12 @@ def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig) -> FlatLane:
             u, u_pred, lane.x0, bp_next
         )
         # Only from the second transition on: at the first, u_prev is the
-        # initial guess, which is not a central-path point.
-        on_path = bp < jnp.asarray(cfg.bp_init, dtype)
+        # initial guess, which is not a central-path point.  Compare against
+        # the LANE's starting bp (not cfg.bp_init): lanes opened with a
+        # per-lane bp0 override (multigrid fine re-entry) would otherwise
+        # fire the predictor on their first transition against the
+        # interpolated warm start.
+        on_path = bp < lane.bp0
         take = jnp.logical_and(
             roll, jnp.logical_and(on_path, c_pred < c_plain)
         )
@@ -584,7 +590,8 @@ def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig) -> FlatLane:
     return FlatLane(
         x0=lane.x0, x=x, u=u, u_prev=u_prev, it=lane.it + 1,
         stage_it=stage_it,
-        rp=rp, r_inc=r_inc, bp=bp, done=jnp.logical_or(lane.done, done_now),
+        rp=rp, r_inc=r_inc, bp=bp, bp0=lane.bp0,
+        done=jnp.logical_or(lane.done, done_now),
     )
 
 

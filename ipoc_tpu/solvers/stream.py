@@ -135,8 +135,10 @@ def solve_stream(
         # slower; default stays 1.
         def inner_cond(c):
             ln, s = c
+            # s + unroll <= K: never overshoot the K-step budget (an
+            # unrolled body advances `unroll` sub-steps per iteration)
             return jnp.logical_and(
-                s < K,
+                s + unroll <= K,
                 jnp.any(jnp.logical_and(active, jnp.logical_not(ln.done))),
             )
 
@@ -246,7 +248,6 @@ def solve_stream_multigrid(
     N, T, nu = controls.shape
     if T % coarsen != 0:
         raise ValueError(f"horizon {T} not divisible by coarsen={coarsen}")
-    from ipoc_tpu.ops.derivatives import check_feasibility
     from ipoc_tpu.utils.integrators import rollout
 
     sol_c = solve_stream(ocp_coarse, controls[:, ::coarsen], initial_states,
@@ -254,11 +255,21 @@ def solve_stream_multigrid(
                          inner_unroll=inner_unroll)
     u_warm = jnp.repeat(sol_c.controls, coarsen, axis=1)
 
-    def feasible(u, x0):
-        x = rollout(ocp.dynamics, u, x0)
-        return check_feasibility(ocp, x, u) & jnp.all(jnp.isfinite(u))
+    fine_bp = jnp.asarray(fine_bp_init, controls.dtype)
 
-    ok = jax.vmap(feasible)(u_warm, initial_states)
+    def usable(u, x0):
+        # Gate on a FINITE barrier cost at the re-entry bp: this subsumes
+        # strict feasibility (c = 0 gives log(0) -> Inf), non-finite
+        # controls, AND a fine-grid rollout that overflows to Inf/NaN —
+        # a plain constraint check misses the latter two for control-only
+        # constraint models, and a lane admitted with a non-finite cost
+        # would be retired unconverged by flat_lane_init's guard instead of
+        # falling back.
+        x = rollout(ocp.dynamics, u, x0)
+        return jnp.isfinite(ocp.total_cost(x, u, fine_bp)) & jnp.all(
+            jnp.isfinite(u))
+
+    ok = jax.vmap(usable)(u_warm, initial_states)
     okb = ok.reshape((-1, 1, 1))
     u_start = jnp.where(okb, u_warm, controls)
     bp0 = jnp.where(ok, jnp.asarray(fine_bp_init, controls.dtype),
