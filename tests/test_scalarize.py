@@ -81,3 +81,41 @@ def test_scalarize_rejects_uncovered_primitives():
     with pytest.raises(NotImplementedError):
         scalar_lift(f, jax.ShapeDtypeStruct((4,), jnp.float32),
                     jax.ShapeDtypeStruct((1,), jnp.float32))
+
+
+def test_scalarize_integer_bitwise_and_div():
+    """lax and/or are BITWISE on integers (simplification must not treat a
+    constant operand as boolean), and integer division must not be
+    strength-reduced to a float reciprocal multiply."""
+    def f(x, u):
+        i = x.astype(jnp.int32)
+        masked = jnp.bitwise_and(i, 6)      # and with a constant
+        floored = i // 3                    # truncating integer division
+        return (masked + floored).astype(jnp.float32) + u.sum()
+
+    sds = jax.ShapeDtypeStruct((4,), jnp.float32)
+    sdu = jax.ShapeDtypeStruct((1,), jnp.float32)
+    with jax.enable_x64(False):
+        sc_fn, _ = scalar_lift(f, sds, sdu)
+        x = jnp.broadcast_to(
+            jnp.arange(3.0, 7.0, dtype=jnp.float32)[:, None, None],
+            (4, S, L))
+        u = jnp.zeros((1, S, L), jnp.float32)
+        got = sc_fn(x, u)
+        ref = jax.vmap(jax.vmap(f, in_axes=(-1, -1), out_axes=-1),
+                       in_axes=(-1, -1), out_axes=-1)(x, u)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_scalarize_imports_standalone():
+    """The module must import in a fresh process (jax.extend is not
+    auto-registered by importing jax alone)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import ipoc_tpu.ops.pallas.scalarize as m; print(m.__name__)"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
