@@ -250,8 +250,15 @@ def solve_stream_multigrid(
         raise ValueError(f"horizon {T} not divisible by coarsen={coarsen}")
     from ipoc_tpu.utils.integrators import rollout
 
+    # The coarse level only needs to reach the fine re-entry bp: solving it
+    # further down the schedule is wasted work (measured: the fine-level
+    # iteration count is unchanged whether the coarse solve stops at
+    # fine_bp_init or runs to bp_min — the hard fine lanes are intrinsically
+    # hard scenarios, not central-path-distance victims).
+    coarse_bp_min = max(cfg.bp_min, fine_bp_init * (1.0 - 1e-6))
     sol_c = solve_stream(ocp_coarse, controls[:, ::coarsen], initial_states,
-                         cfg, lanes=lanes, refill_every=refill_every,
+                         cfg.replace(bp_min=coarse_bp_min), lanes=lanes,
+                         refill_every=refill_every,
                          inner_unroll=inner_unroll)
     u_warm = jnp.repeat(sol_c.controls, coarsen, axis=1)
 
