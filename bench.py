@@ -57,12 +57,12 @@ def _sync(x):
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import ipoc_tpu
-from ipoc_tpu.models import cartpole, pendulum, quadrotor
+from ipoc_tpu.models import cartpole, pendulum, quadrotor, unicycle
 from ipoc_tpu.solvers.batched import make_batch, solve_batch
 from ipoc_tpu.solvers.stream import solve_stream, solve_stream_multigrid
 
 MODELS = {"cartpole": cartpole, "pendulum": pendulum,
-          "quadrotor": quadrotor}
+          "quadrotor": quadrotor, "unicycle": unicycle}
 MODEL = os.environ.get("IPOC_BENCH_MODEL", "cartpole")
 
 BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "2048"))
@@ -83,7 +83,7 @@ def main():
     ocp = model.make_ocp(DT)
     x0 = model.initial_state(jnp.float32)
     n_scen = POOL if MODE in ("stream", "mg") else BATCH
-    nu = 2 if MODEL == "quadrotor" else 1
+    nu = 2 if MODEL in ("quadrotor", "unicycle") else 1
     u0, x0b = make_batch(
         jax.random.PRNGKey(1), x0, n_scen, HORIZON, nu,
         state_scale=0.01, control_scale=0.1, dtype=jnp.float32,

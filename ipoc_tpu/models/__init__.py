@@ -1,1 +1,7 @@
-from ipoc_tpu.models import cartpole, double_integrator, pendulum, quadrotor
+from ipoc_tpu.models import (
+    cartpole,
+    double_integrator,
+    pendulum,
+    quadrotor,
+    unicycle,
+)
