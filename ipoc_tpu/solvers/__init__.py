@@ -13,4 +13,5 @@ from ipoc_tpu.solvers.stream import (
     StreamSolution,
     solve_stream,
     solve_stream_multigrid,
+    solve_stream_multigrid_sharded,
 )

@@ -330,3 +330,43 @@ def solve_stream_sharded(
         check_vma=False,
     )(controls, initial_states)
     return StreamSolution(u, iters, steps)
+
+
+def solve_stream_multigrid_sharded(
+    ocp: OCP,
+    ocp_coarse: OCP,
+    coarsen: int,
+    controls,        # (N, T, nu) pool, N divisible by the mesh axis
+    initial_states,  # (N, nx)
+    mesh,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+    lanes: int = 2048,
+    refill_every: int = 16,
+    axis_name: str = "batch",
+) -> MultigridSolution:
+    """Shard the scenario pool over a mesh axis; one multigrid stream per
+    shard (coarse solve, interpolation, fine re-entry and the per-scenario
+    fallback all stay shard-local — embarrassingly parallel like
+    :func:`solve_stream_sharded`)."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(u0, x0):
+        sol = solve_stream_multigrid(
+            ocp, ocp_coarse, coarsen, u0, x0, cfg, lanes=lanes,
+            refill_every=refill_every)
+        steps = jax.lax.pmax(sol.steps, axis_name)
+        steps_c = jax.lax.pmax(sol.steps_coarse, axis_name)
+        return (sol.controls, sol.iterations, sol.iterations_coarse,
+                steps, steps_c)
+
+    u, it, itc, steps, steps_c = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name, None, None), P(axis_name, None)),
+        out_specs=(P(axis_name, None, None), P(axis_name), P(axis_name),
+                   P(), P()),
+        check_vma=False,
+    )(controls, initial_states)
+    return MultigridSolution(u, it, itc, steps, steps_c)

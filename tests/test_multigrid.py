@@ -92,3 +92,22 @@ def test_multigrid_rejects_bad_horizon():
         assert "divisible" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_multigrid_sharded_matches_local():
+    """Per-shard multigrid streams over a 2-device mesh reproduce the local
+    multigrid solutions (shard-major pool order)."""
+    from ipoc_tpu.parallel.sharding import make_mesh
+    from ipoc_tpu.solvers.stream import solve_stream_multigrid_sharded
+
+    ocp, ocp_c, u0, x0b = _setup(n=6)
+    mesh = make_mesh(batch=2)
+    sh = jax.jit(lambda u, x: solve_stream_multigrid_sharded(
+        ocp, ocp_c, 4, u, x, mesh, CFG, lanes=3))(u0, x0b)
+    loc = jax.jit(lambda u, x: solve_stream_multigrid(
+        ocp, ocp_c, 4, u, x, CFG, lanes=3))(u0[:3], x0b[:3])
+    np.testing.assert_allclose(np.asarray(sh.controls[:3]),
+                               np.asarray(loc.controls),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(sh.iterations[:3]),
+                                  np.asarray(loc.iterations))
