@@ -506,6 +506,26 @@ def _pack_consts(consts, S):
 
 
 
+def _add_mm_sym(C, A, B, n, k):
+    """``C + A @ B`` for a symmetric (n x n) result, per lane.
+
+    Computes only the upper triangle and mirrors the lower by REFERENCE —
+    the Riccati quantities ``Qxx = Q + fx'Vfx`` and ``Vxx = Qxx + Qxu K``
+    are symmetric in exact arithmetic, so the lower-triangle dot products
+    are redundant VPU work (and the mirror also keeps the value-function
+    carry exactly symmetric, like the fallback's ``linalg.sym``).  ``C`` is
+    a row-major (n*n,) stack, ``A`` (n*k,), ``B`` (k*n,)."""
+    out = [None] * (n * n)
+    for i in range(n):
+        for j in range(i, n):
+            acc = C[i * n + j] + A[i * k] * B[j]
+            for l in range(1, k):
+                acc = acc + A[i * k + l] * B[l * n + j]
+            out[i * n + j] = acc
+            out[j * n + i] = acc
+    return jnp.stack(out, axis=0)
+
+
 def _fwd_spec(rows, S):
     """(1, 1, rows, S, LANES) block walking the time axis forward."""
     return pl.BlockSpec((1, 1, rows, S, LANES),
@@ -675,8 +695,8 @@ def _fused_bwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
     fuT = _transpose(fu, nx, nu)
     Vfx = _mm(Vxx, fx, nx, nx, nx)
     Vfu = _mm(Vxx, fu, nx, nx, nu)
-    Qxx = Q + _mm(fxT, Vfx, nx, nx, nx)
-    Quu = R + _mm(fuT, Vfu, nu, nx, nu)
+    Qxx = _add_mm_sym(Q, fxT, Vfx, nx, nx)
+    Quu = _add_mm_sym(R, fuT, Vfu, nu, nx)
     Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
     Qu = ru + _mv(fuT, Vx, nu, nx)
     Qx = _mv(fxT, Vx, nx, nx)
@@ -692,7 +712,7 @@ def _fused_bwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
 
     Kk_o[0, 0] = jnp.concatenate([k, K], axis=0)
     Vx_s[:] = Qx + _mv(Qxu, k, nx, nu)
-    Vxx_s[:] = Qxx + _mm(Qxu, K, nx, nu, nx)
+    Vxx_s[:] = _add_mm_sym(Qxx, Qxu, K, nx, nu)
     dv_s[:] = dv_s[:] + (
         _dot(k, Qu, nu) + 0.5 * _dot(k, _mv(Quu, k, nu, nu), nu)
     )[None]
