@@ -95,12 +95,17 @@ def main():
     if os.environ.get("IPOC_BENCH_BARRIER"):
         cfg = cfg.replace(barrier_mode=os.environ["IPOC_BENCH_BARRIER"])
 
-    if MODE == "mg":
+    mode = MODE
+    if mode == "mg" and HORIZON % COARSEN != 0:
+        print(f"# horizon {HORIZON} not divisible by coarsen {COARSEN}; "
+              "falling back to single-grid stream", file=sys.stderr)
+        mode = "stream"
+    if mode == "mg":
         ocp_c = model.make_ocp(DT * COARSEN)
         step = jax.jit(lambda u, x: solve_stream_multigrid(
             ocp, ocp_c, COARSEN, u, x, cfg, lanes=BATCH,
             refill_every=REFILL))
-    elif MODE == "stream":
+    elif mode == "stream":
         step = jax.jit(lambda u, x: solve_stream(
             ocp, u, x, cfg, lanes=BATCH, refill_every=REFILL))
     else:
