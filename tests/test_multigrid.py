@@ -111,3 +111,30 @@ def test_multigrid_sharded_matches_local():
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_array_equal(np.asarray(sh.iterations[:3]),
                                   np.asarray(loc.iterations))
+
+
+def test_multigrid_unicycle_state_constraint():
+    """Multigrid on the obstacle unicycle: interpolated coarse solutions can
+    clip the keep-out disc on the fine grid, so this exercises the
+    per-scenario fallback on a REAL state constraint; every output must be
+    feasible on the fine grid."""
+    from ipoc_tpu.models import unicycle
+
+    T = 40
+    ocp = unicycle.make_ocp(2.0 / T)
+    ocp_c = unicycle.make_ocp(8.0 / T)
+    x0 = unicycle.initial_state(jnp.float64)
+    u0 = jnp.concatenate(
+        [0.3 * jnp.ones((T, 1), jnp.float64),
+         jnp.zeros((T, 1), jnp.float64)], axis=1)
+    u0b = jnp.broadcast_to(u0, (4,) + u0.shape)
+    x0b = jnp.stack([x0 + jnp.asarray([0.0, dy, 0.0], jnp.float64)
+                     for dy in (0.0, 0.02, -0.02, 0.04)])
+    mg = jax.jit(lambda u, x: solve_stream_multigrid(
+        ocp, ocp_c, 4, u, x, CFG, lanes=2))(u0b, x0b)
+    u = np.asarray(mg.controls)
+    assert np.isfinite(u).all()
+    for i in range(4):
+        x = rollout(ocp.dynamics, mg.controls[i], x0b[i])
+        c = np.asarray(jax.vmap(ocp.constraints)(x[:-1], mg.controls[i]))
+        assert c.max() <= 0.0, f"lane {i} violates constraints: {c.max()}"
