@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ipoc_tpu.ops.pallas.seq_newton_kernel import (
     LANES,
     SUBLANES,
+    _add_mm_sym,
     _ceil_to,
     _dot,
     _gain_rhs,
@@ -504,26 +505,6 @@ def _pack_consts(consts, S):
 
 
 
-
-
-def _add_mm_sym(C, A, B, n, k):
-    """``C + A @ B`` for a symmetric (n x n) result, per lane.
-
-    Computes only the upper triangle and mirrors the lower by REFERENCE —
-    the Riccati quantities ``Qxx = Q + fx'Vfx`` and ``Vxx = Qxx + Qxu K``
-    are symmetric in exact arithmetic, so the lower-triangle dot products
-    are redundant VPU work (and the mirror also keeps the value-function
-    carry exactly symmetric, like the fallback's ``linalg.sym``).  ``C`` is
-    a row-major (n*n,) stack, ``A`` (n*k,), ``B`` (k*n,)."""
-    out = [None] * (n * n)
-    for i in range(n):
-        for j in range(i, n):
-            acc = C[i * n + j] + A[i * k] * B[j]
-            for l in range(1, k):
-                acc = acc + A[i * k + l] * B[l * n + j]
-            out[i * n + j] = acc
-            out[j * n + i] = acc
-    return jnp.stack(out, axis=0)
 
 
 def _fwd_spec(rows, S):

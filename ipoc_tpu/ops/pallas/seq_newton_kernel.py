@@ -62,6 +62,25 @@ def _mm(A, B, n, k, m):
     return jnp.stack(rows, axis=0)
 
 
+def _add_mm_sym(C, A, B, n, k):
+    """``C + A @ B`` for a symmetric (n x n) result, per lane.
+
+    Computes only the upper triangle and mirrors the lower by REFERENCE —
+    ``Qxx = Q + fx'Vfx``, ``Quu = R + fu'Vfu`` and ``Vxx = Qxx + Qxu K``
+    are symmetric in exact arithmetic, so the lower-triangle dot products
+    are redundant VPU work (and the mirror keeps the value-function carry
+    exactly symmetric, like the XLA fallback's ``linalg.sym``)."""
+    out = [None] * (n * n)
+    for i in range(n):
+        for j in range(i, n):
+            acc = C[i * n + j] + A[i * k] * B[j]
+            for l in range(1, k):
+                acc = acc + A[i * k + l] * B[l * n + j]
+            out[i * n + j] = acc
+            out[j * n + i] = acc
+    return jnp.stack(out, axis=0)
+
+
 def _mv(A, x, n, m):
     """(n x m) @ (m,) per lane."""
     rows = []
@@ -182,8 +201,8 @@ def _seq_trial_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref, XT_ref,
 
         Vfx = _mm(Vxx, fx, nx, nx, nx)
         Vfu = _mm(Vxx, fu, nx, nx, nu)
-        Qxx = Q + _mm(fxT, Vfx, nx, nx, nx)
-        Quu = R + _mm(fuT, Vfu, nu, nx, nu)
+        Qxx = _add_mm_sym(Q, fxT, Vfx, nx, nx)
+        Quu = _add_mm_sym(R, fuT, Vfu, nu, nx)
         Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
         Qu = ru + _mv(fuT, Vx, nu, nx)
         Qx = _mv(fxT, Vx, nx, nx)
@@ -202,7 +221,7 @@ def _seq_trial_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref, XT_ref,
 
         Kk_ref[t] = jnp.concatenate([k, K], axis=0)
         Vx_new = Qx + _mv(Qxu, k, nx, nu)
-        Vxx_new = Qxx + _mm(Qxu, K, nx, nu, nx)
+        Vxx_new = _add_mm_sym(Qxx, Qxu, K, nx, nu)
         dv = dv + _dot(k, Qu, nu) + 0.5 * _dot(k, _mv(Quu, k, nu, nu), nu)
         return Vxx_new, Vx_new, dv, jnp.minimum(minpiv, piv)
 
@@ -282,8 +301,8 @@ def _seq_bwd_stream_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref,
 
     Vfx = _mm(Vxx, fx, nx, nx, nx)
     Vfu = _mm(Vxx, fu, nx, nx, nu)
-    Qxx = Q + _mm(fxT, Vfx, nx, nx, nx)
-    Quu = R + _mm(fuT, Vfu, nu, nx, nu)
+    Qxx = _add_mm_sym(Q, fxT, Vfx, nx, nx)
+    Quu = _add_mm_sym(R, fuT, Vfu, nu, nx)
     Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
     Qu = ru + _mv(fuT, Vx, nu, nx)
     Qx = _mv(fxT, Vx, nx, nx)
@@ -299,7 +318,7 @@ def _seq_bwd_stream_kernel(ru_ref, Q_ref, R_ref, M_ref, fx_ref, fu_ref,
 
     Kk_o[0, 0] = jnp.concatenate([k, K], axis=0)
     Vx_s[:] = Qx + _mv(Qxu, k, nx, nu)
-    Vxx_s[:] = Qxx + _mm(Qxu, K, nx, nu, nx)
+    Vxx_s[:] = _add_mm_sym(Qxx, Qxu, K, nx, nu)
     dv_s[:] = dv_s[:] + (
         _dot(k, Qu, nu) + 0.5 * _dot(k, _mv(Quu, k, nu, nu), nu)
     )[None]
