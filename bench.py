@@ -1,12 +1,18 @@
 """Benchmark driver: batched constrained-cartpole H=100 IP solves/s.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+On terminal failure (e.g. TPU backend outage) it still prints one parseable
+JSON line with an ``"error"`` field instead of dying with a raw traceback,
+and exits nonzero.  Backend availability is probed in a subprocess with a
+timeout first (the failure mode includes indefinite hangs, not just init
+errors), with bounded retry + backoff.
 
 Protocol follows the reference harness (1 untimed warmup to exclude compile,
 then timed reps with ``block_until_ready``, median reported — reference
 examples/cartpole_runtime.py:115-174), adapted to the TPU throughput story:
-a vmapped batch of full interior-point solves per timed rep.
+a streamed pool of full interior-point solves per timed rep.
 
 Baseline: the reference repo publishes no numbers (BASELINE.md). The
 denominator used for ``vs_baseline`` is the BASELINE.json north-star target
@@ -14,26 +20,25 @@ pro-rated to one chip: 1e4 solves/s on a v5p-16 (8 chips) => 1250 solves/s
 per chip.  vs_baseline > 1 beats the per-chip north star.
 
 The headline configuration is the multigrid-in-time stream
-(solvers/stream.py solve_stream_multigrid): the scenario pool is solved on
-a 4x-coarser time grid first (cold-start stage-1 work, ~66% of iterations,
-runs at 1/4 cost per iteration), interpolated, and re-entered into the
-barrier schedule on the fine grid; both levels stream the pool through
-IPOC_BENCH_BATCH resident lanes with converged lanes refilled every
-IPOC_BENCH_REFILL steps.  Solutions satisfy the same final-stage
-convergence criteria as the single-grid stream (docs/PERFORMANCE.md
-documents the local-basin caveat on nonconvex scenarios).  Set
-IPOC_BENCH_MODE=stream for the single-grid stream or =batch for the plain
-vmapped solver.
+(solvers/stream.py solve_stream_multigrid).  In that mode the JSON line
+also carries a ``"quality"`` block comparing the multigrid solutions
+against an untimed single-grid stream run on the same scenarios:
+mean/max relative converged-cost delta over basin-matched scenarios and
+the basin-switch fraction (scenarios whose raw cost differs by >0.1%
+relative — a different local optimum, not a convergence failure; see
+docs/PERFORMANCE.md "Quality caveat").  Set IPOC_BENCH_QUALITY=0 to skip.
 
 Env knobs: IPOC_BENCH_BATCH (default 2048 lanes), IPOC_BENCH_POOL (default
 32x lanes), IPOC_BENCH_REPS (default 5), IPOC_BENCH_HORIZON (default 100),
 IPOC_BENCH_MODE (mg|stream|batch), IPOC_BENCH_REFILL (default 16),
-IPOC_BENCH_COARSEN (default 4).
+IPOC_BENCH_COARSEN (default 4), IPOC_BENCH_QUALITY (default 1 in mg mode),
+IPOC_BENCH_PROBE_RETRIES (default 4).
 """
 
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -42,29 +47,7 @@ import time
 # runs the known-good configuration.  Set IPOC_FUSED_NEWTON=1 to measure it.
 os.environ.setdefault("IPOC_FUSED_NEWTON", "0")
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-
-def _sync(x):
-    """Force completion: on the remote-attached TPU platform used here,
-    ``block_until_ready`` returns before execution finishes; a host fetch is
-    the only reliable barrier."""
-    jax.block_until_ready(x)
-    return np.asarray(x)
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import ipoc_tpu
-from ipoc_tpu.models import cartpole, pendulum, quadrotor, unicycle
-from ipoc_tpu.solvers.batched import make_batch, solve_batch
-from ipoc_tpu.solvers.stream import solve_stream, solve_stream_multigrid
-
-MODELS = {"cartpole": cartpole, "pendulum": pendulum,
-          "quadrotor": quadrotor, "unicycle": unicycle}
 MODEL = os.environ.get("IPOC_BENCH_MODEL", "cartpole")
-
 BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "2048"))
 # Deep pools amortize the stream's drain tail: steps/scenario falls toward
 # mean_iterations/lanes as generations grow (docs/PERFORMANCE.md).
@@ -74,12 +57,85 @@ HORIZON = int(os.environ.get("IPOC_BENCH_HORIZON", "100"))
 MODE = os.environ.get("IPOC_BENCH_MODE", "mg")
 COARSEN = int(os.environ.get("IPOC_BENCH_COARSEN", "4"))
 REFILL = int(os.environ.get("IPOC_BENCH_REFILL", "16"))
+QUALITY = os.environ.get("IPOC_BENCH_QUALITY", "1") != "0"
+PROBE_RETRIES = int(os.environ.get("IPOC_BENCH_PROBE_RETRIES", "4"))
+PROBE_TIMEOUT = float(os.environ.get("IPOC_BENCH_PROBE_TIMEOUT", "300"))
+# Set IPOC_BENCH_PLATFORM=cpu for a hardware-free smoke run of the whole
+# pipeline (tiny sizes recommended); skips the accelerator probe.
+PLATFORM = os.environ.get("IPOC_BENCH_PLATFORM", "")
 DT = 1.0 / HORIZON  # reference sweep keeps H * dt = 1 s
 NORTH_STAR_PER_CHIP = 1e4 / 8.0
 
+METRIC = f"{MODEL}_h{HORIZON}_ip_solves_per_sec"
+UNIT = "solves/s/chip"
 
-def main():
-    model = MODELS[MODEL]
+
+def emit_error(msg: str) -> None:
+    print(json.dumps({
+        "metric": METRIC, "value": None, "unit": UNIT,
+        "vs_baseline": None, "error": msg[-2000:],
+    }))
+
+
+def probe_backend() -> None:
+    """Verify the accelerator backend actually executes, in a subprocess
+    with a hard timeout (outages manifest as hangs as well as init errors:
+    BENCH_r01.json).  Bounded retry with backoff; raises on exhaustion."""
+    code = (
+        "import jax, numpy as np;"
+        "x = jax.numpy.ones((128, 128));"
+        "assert float(np.asarray(x @ x)[0, 0]) == 128.0;"
+        "print('backend-ok', jax.devices()[0].platform)"
+    )
+    delay = 30.0
+    last = "unknown"
+    for attempt in range(1, PROBE_RETRIES + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=PROBE_TIMEOUT,
+            )
+            if r.returncode == 0 and "backend-ok" in r.stdout:
+                return
+            last = (r.stderr or r.stdout).strip().splitlines()[-1] if (
+                r.stderr or r.stdout).strip() else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {PROBE_TIMEOUT:.0f}s"
+        if attempt < PROBE_RETRIES:
+            print(f"# backend probe attempt {attempt} failed ({last}); "
+                  f"retrying in {delay:.0f}s", file=sys.stderr)
+            time.sleep(delay)
+            delay *= 2
+    raise RuntimeError(f"backend unavailable after {PROBE_RETRIES} probe "
+                       f"attempts: {last}")
+
+
+def run() -> dict:
+    import jax
+
+    if PLATFORM:  # smoke-test escape hatch (the env pins JAX_PLATFORMS)
+        jax.config.update("jax_platforms", PLATFORM)
+    import jax.numpy as jnp
+    import numpy as np
+
+    def _sync(x):
+        """Force completion: on the remote-attached TPU platform used here,
+        ``block_until_ready`` returns before execution finishes; a host
+        fetch is the only reliable barrier."""
+        jax.block_until_ready(x)
+        return np.asarray(x)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import ipoc_tpu
+    from ipoc_tpu.models import cartpole, pendulum, quadrotor, unicycle
+    from ipoc_tpu.solvers.batched import make_batch, solve_batch
+    from ipoc_tpu.solvers.stream import solve_stream, solve_stream_multigrid
+    from ipoc_tpu.utils.integrators import rollout
+
+    models = {"cartpole": cartpole, "pendulum": pendulum,
+              "quadrotor": quadrotor, "unicycle": unicycle}
+    model = models[MODEL]
     ocp = model.make_ocp(DT)
     x0 = model.initial_state(jnp.float32)
     n_scen = POOL if MODE in ("stream", "mg") else BATCH
@@ -127,17 +183,54 @@ def main():
               file=sys.stderr)
 
     med = statistics.median(times)
-    solves_per_sec = n_scen / med
-    print(
-        json.dumps(
-            {
-                "metric": f"{MODEL}_h{HORIZON}_ip_solves_per_sec",
-                "value": round(solves_per_sec, 3),
-                "unit": "solves/s/chip",
-                "vs_baseline": round(solves_per_sec / NORTH_STAR_PER_CHIP, 4),
-            }
-        )
-    )
+    payload = {
+        "metric": METRIC,
+        "value": round(n_scen / med, 3),
+        "unit": UNIT,
+        "vs_baseline": round(n_scen / med / NORTH_STAR_PER_CHIP, 4),
+    }
+
+    if mode == "mg" and QUALITY:
+        # Quality gate (untimed): the multigrid headline must carry its
+        # evidence.  Compare per-scenario barrier-free converged costs
+        # against the single-grid stream on the same scenarios; only the
+        # (N,) cost vectors leave the device.
+        ref_step = jax.jit(lambda u, x: solve_stream(
+            ocp, u, x, cfg, lanes=BATCH, refill_every=REFILL))
+        ref_sol = ref_step(u0, x0b)
+
+        def raw_cost(u, x0s):
+            x = rollout(ocp.dynamics, u, x0s)
+            return ocp.total_cost(x, u, jnp.asarray(1e-9, u.dtype))
+
+        costs = jax.jit(jax.vmap(raw_cost))
+        c_mg = _sync(costs(sol.controls, x0b)).astype(np.float64)
+        c_sg = _sync(costs(ref_sol.controls, x0b)).astype(np.float64)
+        rel = np.abs(c_mg - c_sg) / np.maximum(np.abs(c_sg), 1e-12)
+        switched = rel > 1e-3  # different local basin, not noise
+        matched = ~switched
+        payload["quality"] = {
+            "basin_switch_frac": round(float(switched.mean()), 5),
+            "mean_rel_cost_delta_matched": float(rel[matched].mean())
+            if matched.any() else None,
+            "max_rel_cost_delta_matched": float(rel[matched].max())
+            if matched.any() else None,
+            "mean_signed_rel_cost_delta_switched":
+            float(((c_mg - c_sg) / np.maximum(np.abs(c_sg), 1e-12))
+                  [switched].mean()) if switched.any() else 0.0,
+        }
+    return payload
+
+
+def main():
+    try:
+        if not PLATFORM:
+            probe_backend()
+        payload = run()
+    except Exception as exc:  # noqa: BLE001 — one parseable line, always
+        emit_error(f"{type(exc).__name__}: {exc}")
+        sys.exit(1)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
