@@ -55,6 +55,7 @@ POOL = int(os.environ.get("IPOC_BENCH_POOL", str(32 * BATCH)))
 REPS = int(os.environ.get("IPOC_BENCH_REPS", "5"))
 HORIZON = int(os.environ.get("IPOC_BENCH_HORIZON", "100"))
 MODE = os.environ.get("IPOC_BENCH_MODE", "mg")
+IMPL = os.environ.get("IPOC_BENCH_IMPL", "")
 COARSEN = int(os.environ.get("IPOC_BENCH_COARSEN", "4"))
 REFILL = int(os.environ.get("IPOC_BENCH_REFILL", "16"))
 QUALITY = os.environ.get("IPOC_BENCH_QUALITY", "1") != "0"
@@ -66,7 +67,9 @@ PLATFORM = os.environ.get("IPOC_BENCH_PLATFORM", "")
 DT = 1.0 / HORIZON  # reference sweep keeps H * dt = 1 s
 NORTH_STAR_PER_CHIP = 1e4 / 8.0
 
-METRIC = f"{MODEL}_h{HORIZON}_ip_solves_per_sec"
+METRIC = (f"{MODEL}_h{HORIZON}_"
+          + (f"{IMPL}_" if IMPL else "")
+          + "ip_solves_per_sec")
 UNIT = "solves/s/chip"
 
 
@@ -150,6 +153,14 @@ def run() -> dict:
     cfg = ipoc_tpu.BATCH_CONFIG
     if os.environ.get("IPOC_BENCH_BARRIER"):
         cfg = cfg.replace(barrier_mode=os.environ["IPOC_BENCH_BARRIER"])
+    if IMPL:
+        # e.g. IPOC_BENCH_IMPL=ddp — IP-DDP through the same stream
+        # machinery (VERDICT r1 #5); seq/par select the Newton evaluator.
+        cfg = cfg.replace(newton_impl=IMPL)
+        if IMPL == "ddp":
+            # the stage predictor is tuned/measured on the Newton path;
+            # keep DDP at reference-style plain warm starts until measured
+            cfg = cfg.replace(stage_predictor=False)
 
     mode = MODE
     if mode == "mg" and HORIZON % COARSEN != 0:

@@ -111,6 +111,13 @@ class SolverConfig:
     #           path; requires globalization="single" and
     #           terminal_hessian="exact".  Off-TPU/f64 it falls back to an
     #           identical unfused composition.
+    #   "ddp" — the IP-DDP trial (full derivative set, Vx-contracted
+    #           backward pass, NONLINEAR closed-loop re-rollout; reference
+    #           ddp:28-90) as the per-iteration evaluator, which plugs DDP
+    #           into the same single-trial/flat/stream throughput machinery
+    #           as the Newton step.  Requires globalization="single";
+    #           ``interior_point_ddp`` keeps the reference's retry-loop
+    #           structure for single solves.
     newton_impl: str = "par"
 
     # LM reset value at barrier-stage transitions in flat/stream mode

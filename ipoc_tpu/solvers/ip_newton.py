@@ -159,6 +159,13 @@ def par_newton_step(ocp: OCP, x, d: Derivatives, rp, lin: LinearizedOCP,
             "regularization, which the fused evaluation covers via "
             "_trial_eval instead"
         )
+    if cfg.newton_impl == "ddp":
+        raise ValueError(
+            "newton_impl='ddp' evaluates the whole trial (derivatives + "
+            "Vx-contracted backward pass + nonlinear re-rollout) per "
+            "iteration and requires globalization='single'; use "
+            "interior_point_ddp for the reference retry-loop structure"
+        )
     lin_reg = _regularized(
         lin, d, rp, cfg.scale_reg_by_grad, cfg.reg_scale_floor
     )
@@ -309,6 +316,15 @@ def _trial_eval(ocp: OCP, x, u, bp, rp, cfg: SolverConfig):
     (ops/pallas/fused_iter_kernel.py) that re-derives the model in-kernel;
     off-TPU (or f64) it falls back to an identical unfused composition.
     """
+    if cfg.newton_impl == "ddp":
+        # DDP as a throughput path: the flat/stream executors drive DDP
+        # lanes through this evaluator (reference ships DDP as a peer
+        # solver, ddp:98-186; here it gets the same batched machinery as
+        # the Newton step).
+        from ipoc_tpu.solvers.ip_ddp import ddp_trial_eval
+
+        return ddp_trial_eval(ocp, x, u, bp, rp, cfg)
+
     if cfg.newton_impl == "fused":
         from ipoc_tpu.ops.pallas.fused_iter_kernel import make_fused_iter
 
