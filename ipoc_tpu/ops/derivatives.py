@@ -65,15 +65,10 @@ def compute_lqr_params(costates, d: Derivatives) -> LinearizedOCP:
     return LinearizedOCP(ru, Q, R, M)
 
 
-def compute_first_order(ocp: OCP, states, controls, bp) -> Derivatives:
-    """First-order stage derivatives only (cx, cu, fx, fu).
-
-    Everything the costate recursion and the trial-step kernels consume;
-    the second-order fields are ``None``.  Pairs with
-    :func:`compute_hamiltonian_lqr`, which produces the Newton stage data
-    without ever materializing the ``(T, nx, nx, nx)`` dynamics-curvature
-    tensors.
-    """
+def first_order_stages(ocp: OCP, stage_states, controls, bp) -> Derivatives:
+    """:func:`compute_first_order` on explicit stage states ``x_0..x_{T-1}``
+    (no terminal row) — the form the time-sharded solver consumes, where
+    each shard holds only its local stage slice."""
 
     def stage(x, u):
         cx = grad(ocp.stage_cost, 0)(x, u, bp)
@@ -83,7 +78,19 @@ def compute_first_order(ocp: OCP, states, controls, bp) -> Derivatives:
         return Derivatives(cx, cu, None, None, None, fx, fu, None, None,
                            None)
 
-    return jax.vmap(stage)(states[:-1], controls)
+    return jax.vmap(stage)(stage_states, controls)
+
+
+def compute_first_order(ocp: OCP, states, controls, bp) -> Derivatives:
+    """First-order stage derivatives only (cx, cu, fx, fu).
+
+    Everything the costate recursion and the trial-step kernels consume;
+    the second-order fields are ``None``.  Pairs with
+    :func:`compute_hamiltonian_lqr`, which produces the Newton stage data
+    without ever materializing the ``(T, nx, nx, nx)`` dynamics-curvature
+    tensors.
+    """
+    return first_order_stages(ocp, states[:-1], controls, bp)
 
 
 def compute_hamiltonian_lqr(ocp: OCP, states, controls, costates, bp
@@ -106,6 +113,16 @@ def compute_hamiltonian_lqr(ocp: OCP, states, controls, costates, bp
     derivative phase's memory traffic for batched solves).
     """
 
+    return hamiltonian_lqr_stages(ocp, states[:-1], controls, costates[1:],
+                                  bp)
+
+
+def hamiltonian_lqr_stages(ocp: OCP, stage_states, controls, next_costates,
+                           bp) -> LinearizedOCP:
+    """:func:`compute_hamiltonian_lqr` on explicit per-stage inputs
+    (states x_k, controls u_k, costates lam_{k+1} — all T rows, no terminal
+    slots), for callers holding sharded local slices."""
+
     def stage(x, u, lam_next):
         def ham(xx, uu):
             return ocp.stage_cost(xx, uu, bp) + lam_next @ ocp.dynamics(
@@ -118,7 +135,7 @@ def compute_hamiltonian_lqr(ocp: OCP, states, controls, costates, bp
         M = jacfwd(grad(ham, 0), 1)(x, u)
         return ru, Q, R, M
 
-    ru, Q, R, M = jax.vmap(stage)(states[:-1], controls, costates[1:])
+    ru, Q, R, M = jax.vmap(stage)(stage_states, controls, next_costates)
     return LinearizedOCP(ru, Q, R, M)
 
 

@@ -34,6 +34,25 @@ from ipoc_tpu.parallel.sharding import sharded_associative_scan
 TIME_AXIS = "time"
 
 
+def shift_left_across_shards(a, fill, axis_name: str):
+    """Shift a time-sharded per-stage array one stage earlier: local roll,
+    with element 0 of the *next* shard filling the local tail via one
+    ``ppermute`` neighbor exchange; the globally-last stage takes ``fill``.
+    Turns per-stage values v_k into v_{k+1} (e.g. S_k -> S_{k+1} for the
+    Riccati gains, lam_k -> lam_{k+1} for the costate contraction)."""
+    idx = lax.axis_index(axis_name)
+    n_shards = lax.axis_size(axis_name)
+    rolled = jnp.concatenate([a[1:], fill[None]], axis=0)
+    recv = lax.ppermute(
+        a[0],
+        axis_name,
+        [(i, (i - 1) % n_shards) for i in range(n_shards)],
+    )
+    is_last = idx == n_shards - 1
+    tail = jnp.where(is_last, fill, recv)
+    return rolled.at[-1].set(tail)
+
+
 def par_bwd_pass_time_sharded(lqt: LQT, axis_name: str = TIME_AXIS):
     """Backward LQT pass with the horizon sharded over ``axis_name``.
 
@@ -53,23 +72,8 @@ def par_bwd_pass_time_sharded(lqt: LQT, axis_name: str = TIME_AXIS):
 
     # stage_gains wants S_{k+1}, v_{k+1}: shift left across the shard
     # boundary with a single ppermute (neighbor exchange over ICI).
-    idx = lax.axis_index(axis_name)
-    n_shards = lax.axis_size(axis_name)
-
-    def shift_left(a, fill):
-        rolled = jnp.concatenate([a[1:], fill[None]], axis=0)
-        # First element of the *next* shard replaces our trailing fill.
-        recv = lax.ppermute(
-            a[0],
-            axis_name,
-            [(i, (i - 1) % n_shards) for i in range(n_shards)],
-        )
-        is_last = idx == n_shards - 1
-        tail = jnp.where(is_last, fill, recv)
-        return rolled.at[-1].set(tail)
-
-    S_next = shift_left(S_stage, eT.J)
-    v_next = shift_left(v_stage, eT.eta)
+    S_next = shift_left_across_shards(S_stage, eT.J, axis_name)
+    v_next = shift_left_across_shards(v_stage, eT.eta, axis_name)
 
     K, d, _, _, dV, posdef = stage_gains(lqt_stages(lqt), S_next, v_next)
     U_ok = linalg.is_posdef(lqt.U)
@@ -80,12 +84,16 @@ def par_bwd_pass_time_sharded(lqt: LQT, axis_name: str = TIME_AXIS):
     return K, d, S_stage, v_stage, pred, feasible
 
 
-def par_fwd_pass_time_sharded(lqt: LQT, x0, Kx, d, axis_name: str = TIME_AXIS):
+def par_fwd_pass_time_sharded(lqt: LQT, x0, Kx, d, axis_name: str = TIME_AXIS,
+                              with_terminal: bool = False):
     """Forward closed-loop pass with the horizon sharded over ``axis_name``.
 
     Returns ``(u, x)`` with x holding the T *stage* states x_0..x_{T-1}
     locally sharded (the final state is cheap to recover from the last
-    control if needed) so outputs shard evenly.
+    control if needed) so outputs shard evenly.  With
+    ``with_terminal=True`` additionally returns the terminal state ``x_T``
+    replicated on every shard (one extra all_gather) — the nonlinear
+    solver needs it for the terminal cost/Hessian.
     """
     F = lqt.A - lqt.B @ Kx
     e = jnp.einsum("...ij,...j->...i", lqt.B, d) + lqt.c
@@ -115,6 +123,9 @@ def par_fwd_pass_time_sharded(lqt: LQT, x0, Kx, d, axis_name: str = TIME_AXIS):
     head = jnp.where(is_first, x0, recv)
     x_stage = jnp.concatenate([head[None], x_next[:-1]], axis=0)
     u = d - jnp.einsum("tij,tj->ti", Kx, x_stage)
+    if with_terminal:
+        xT = lax.all_gather(x_next[-1], axis_name)[n_shards - 1]
+        return u, x_stage, xT
     return u, x_stage
 
 

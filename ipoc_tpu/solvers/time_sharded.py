@@ -1,0 +1,266 @@
+"""Full nonlinear IP Newton solve with the HORIZON sharded across devices.
+
+SURVEY §5.7's end goal: not just the LQT/costate scans but the WHOLE solve
+— derivatives, costates, Riccati backward/forward passes, trial updates,
+cost/feasibility reductions, the barrier schedule, and the (serial)
+nonlinear stage rollouts — runs inside ONE ``shard_map`` over a mesh axis
+named ``"time"``, so horizons far beyond one device's memory/compute solve
+as a single program.
+
+Per-iteration communication is O(1) per shard and rides the ICI: one
+all_gather of per-shard scan aggregates in each of the three sharded scans
+(costates, Riccati backward, linear forward — parallel/sharding.py), two
+ppermute neighbor exchanges (stage shifting), and scalar psum/pmax
+reductions for cost, gradient norm, feasibility, and the accept decision
+(every shard sees identical replicated scalars, so control flow stays in
+lockstep by construction).
+
+The nonlinear rollout (stage opening; reference par:133) is inherently
+serial in time; it runs as a chain of per-shard local scans with ppermute
+handoff — span T like the unsharded rollout, paid once per barrier stage,
+not per Newton iteration (the Newton trial itself is the LINEAR update
+x+dx, u+du, reference par:121-123, whose forward pass is an associative
+scan).
+
+Semantics: the single-trial staged solver (ip_newton._newton_stage_par_single
+under barrier_loop) with the parallel-in-time evaluator — identical
+mathematics, sharded execution.  Requires ``cfg.globalization == "single"``
+and ``cfg.newton_impl == "par"``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import grad, hessian, lax, shard_map
+from jax.sharding import PartitionSpec as P
+
+from ipoc_tpu.config import DEFAULT_CONFIG, SolverConfig
+from ipoc_tpu.ops.derivatives import first_order_stages, hamiltonian_lqr_stages
+from ipoc_tpu.parallel.costates import affine_combine
+from ipoc_tpu.parallel.lqt import newton_lqt
+from ipoc_tpu.parallel.sharding import sharded_associative_scan
+from ipoc_tpu.parallel.time_sharded import (
+    TIME_AXIS,
+    par_bwd_pass_time_sharded,
+    par_fwd_pass_time_sharded,
+    shift_left_across_shards,
+)
+from ipoc_tpu.problem import OCP, Derivatives, LinearizedOCP
+from ipoc_tpu.solvers.globalization import gain_ratio, lm_update
+
+
+def sharded_rollout(dynamics, u_local, x0, axis_name: str = TIME_AXIS):
+    """Nonlinear open-loop rollout, horizon-sharded: a serial chain of
+    per-shard local scans with ppermute handoff of the boundary state.
+
+    Returns ``(stage_states_local, xT_replicated)``: each shard's slice of
+    x_0..x_{T-1} plus the terminal state on every shard.  Span is T dynamics
+    steps (the recurrence is inherently serial; reference utils.py:57-63) —
+    paid once per barrier stage, not per Newton iteration.
+    """
+    idx = lax.axis_index(axis_name)
+    n_shards = lax.axis_size(axis_name)
+
+    def local_scan(x_start):
+        def step(x, u):
+            return dynamics(x, u), x
+
+        x_end, xs = lax.scan(step, x_start, u_local)
+        return xs, x_end
+
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+
+    def handoff(j, start):
+        _, x_end = local_scan(start)
+        recv = lax.ppermute(x_end, axis_name, fwd)
+        return jnp.where(idx == j + 1, recv, start)
+
+    start = jnp.where(idx == 0, x0, jnp.zeros_like(x0))
+    if n_shards > 1:
+        start = lax.fori_loop(0, n_shards - 1, handoff, start)
+    xs, x_end = local_scan(start)
+    xT = lax.all_gather(x_end, axis_name)[n_shards - 1]
+    return xs, xT
+
+
+def _total_cost_sharded(ocp: OCP, xs_local, u_local, xT, bp, axis_name):
+    """Barrier total cost: psum of local stage-cost sums + the (replicated)
+    terminal cost."""
+    ct = jax.vmap(ocp.stage_cost, in_axes=(0, 0, None))(xs_local, u_local, bp)
+    return lax.psum(jnp.sum(ct), axis_name) + ocp.final_cost(xT)
+
+
+def _feasible_sharded(ocp: OCP, xs_local, u_local, axis_name):
+    cons = jax.vmap(ocp.constraints)(xs_local, u_local)
+    return jnp.all(lax.all_gather(jnp.all(cons <= 0), axis_name))
+
+
+def _next_costates_sharded(ocp: OCP, d: Derivatives, xT, axis_name):
+    """lam_{k+1} for each local stage k (what the Hamiltonian contraction
+    uses, reference par:31-42): reverse sharded affine scan for lam_k, then
+    one shift-left neighbor exchange."""
+    lam_T = grad(ocp.final_cost)(xT)
+    F = jnp.swapaxes(d.fx, -1, -2)
+    Fs, cs = sharded_associative_scan(
+        affine_combine, (F, d.cx), axis_name, reverse=True
+    )
+    lam = jnp.einsum("tij,j->ti", Fs, lam_T) + cs
+    return shift_left_across_shards(lam, lam_T, axis_name)
+
+
+def _newton_stage_sharded(ocp: OCP, u_local, x0, bp, cfg: SolverConfig,
+                          axis_name):
+    """One barrier stage (single-trial globalization), horizon-sharded.
+
+    Mirrors ip_newton._newton_stage_par_single stage-for-stage; all
+    accept/convergence scalars are replicated across shards (psum/pmax/
+    all_gather) so every shard takes the same branch.
+    """
+    dtype = u_local.dtype
+    xs, xT = sharded_rollout(ocp.dynamics, u_local, x0, axis_name)
+    start_ok = jnp.isfinite(_total_cost_sharded(ocp, xs, u_local, xT, bp,
+                                                axis_name))
+    init_norm = jnp.where(start_ok, jnp.asarray(1.0, dtype),
+                          jnp.asarray(jnp.nan, dtype))
+    tol = jnp.maximum(jnp.asarray(cfg.tol, dtype), cfg.stage_tol_scale * bp)
+    nu = u_local.shape[-1]
+    eye_u = jnp.eye(nu, dtype=dtype)
+
+    def body(val):
+        xs, xT, u, t, rp, r_inc, _ = val
+        cost = _total_cost_sharded(ocp, xs, u, xT, bp, axis_name)
+        d = first_order_stages(ocp, xs, u, bp)
+        lam_next = _next_costates_sharded(ocp, d, xT, axis_name)
+        lin = hamiltonian_lqr_stages(ocp, xs, u, lam_next, bp)
+
+        # Levenberg scale by the GLOBAL ||cu||_F (reference par:116-118).
+        if cfg.scale_reg_by_grad:
+            nrm = jnp.sqrt(lax.psum(jnp.sum(d.cu * d.cu), axis_name))
+            reg = rp * jnp.maximum(
+                nrm, jnp.asarray(cfg.reg_scale_floor, dtype)
+            )
+        else:
+            reg = rp
+        lin_reg = LinearizedOCP(lin.r, lin.Q, lin.R + reg * eye_u, lin.M)
+        if cfg.terminal_hessian == "reference":
+            # XT = Q[0] quirk (par:74): global stage 0 lives on shard 0.
+            XT = lax.all_gather(lin.Q[0], axis_name)[0]
+        else:
+            XT = hessian(ocp.final_cost)(xT)
+
+        lqt = newton_lqt(lin_reg, d, XT)
+        Kx, kff, _, _, pred, bwd_feasible = par_bwd_pass_time_sharded(
+            lqt, axis_name
+        )
+        du, dxs, dxT = par_fwd_pass_time_sharded(
+            lqt, jnp.zeros_like(x0), Kx, kff, axis_name, with_terminal=True
+        )
+        temp_u = u + du
+        temp_xs = xs + dxs
+        temp_xT = xT + dxT
+        Hu_norm = lax.pmax(jnp.max(jnp.abs(lin.r)), axis_name)
+        new_cost = jnp.where(
+            _feasible_sharded(ocp, temp_xs, temp_u, axis_name),
+            _total_cost_sharded(ocp, temp_xs, temp_u, temp_xT, bp,
+                                axis_name),
+            jnp.inf,
+        )
+        rho = gain_ratio(new_cost, cost, pred)
+        accept = jnp.logical_and(rho > 0.0, bwd_feasible)
+        stalled = jnp.logical_and(
+            jnp.logical_not(accept), rp >= cfg.reg_max
+        ) & bool(cfg.stall_exit)
+        rp, r_inc = lm_update(rp, r_inc, rho, accept, cfg)
+        xs = jnp.where(accept, temp_xs, xs)
+        xT = jnp.where(accept, temp_xT, xT)
+        u = jnp.where(accept, temp_u, u)
+        Hu_norm = jnp.where(stalled, jnp.asarray(jnp.nan, dtype), Hu_norm)
+        if cfg.pred_floor > 0.0:
+            tiny = jnp.logical_and(
+                bwd_feasible,
+                jnp.abs(pred) < cfg.pred_floor * (1.0 + jnp.abs(cost)),
+            )
+            Hu_norm = jnp.where(tiny, jnp.zeros((), dtype), Hu_norm)
+        return xs, xT, u, t + 1, rp, r_inc, Hu_norm
+
+    def cond(val):
+        _, _, _, t, _, _, Hu_norm = val
+        done = jnp.logical_or(Hu_norm < tol, t > cfg.max_newton_iters)
+        done = jnp.logical_or(done, jnp.logical_not(jnp.isfinite(Hu_norm)))
+        return jnp.logical_not(done)
+
+    xs, xT, u, iters, _, _, _ = lax.while_loop(
+        cond,
+        body,
+        (
+            xs, xT, u_local,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(cfg.reg_init, dtype),
+            jnp.asarray(cfg.reg_inc_init, dtype),
+            init_norm,
+        ),
+    )
+    return u, iters
+
+
+def ip_newton_time_sharded(
+    ocp: OCP,
+    controls,        # (T, nu) — T divisible by the mesh's time-axis size
+    initial_state,   # (nx,)
+    mesh,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+    axis_name: str = TIME_AXIS,
+):
+    """Interior-point Newton solve with the horizon sharded over
+    ``mesh[axis_name]``.  Returns ``(optimal_controls, total_iterations)``
+    like the single-device entry points.
+
+    Identical iterate sequence to
+    ``par_interior_point_optimal_control(cfg)`` with
+    ``globalization="single"``/``newton_impl="par"`` — the sharding changes
+    only the execution layout (tests pin exact agreement on an 8-virtual-
+    device mesh).
+    """
+    if cfg.globalization != "single":
+        raise ValueError(
+            "ip_newton_time_sharded requires globalization='single' (the "
+            "retry loop would serialize lockstep retries across shards)"
+        )
+    if cfg.newton_impl != "par":
+        raise ValueError(
+            "ip_newton_time_sharded evaluates trials with the "
+            "parallel-in-time (time-sharded) LQT passes; set "
+            "newton_impl='par'"
+        )
+    n_shards = mesh.shape[axis_name]
+    T = controls.shape[0]
+    if T % n_shards != 0:
+        raise ValueError(f"horizon {T} not divisible by {n_shards} shards")
+
+    def run(u_local, x0):
+        dtype = u_local.dtype
+        bp0 = jnp.asarray(cfg.bp_init, dtype)
+
+        def stage_body(val):
+            u, bp, total = val
+            u, iters = _newton_stage_sharded(ocp, u, x0, bp, cfg, axis_name)
+            return u, bp / cfg.bp_decay, total + iters
+
+        def stage_cond(val):
+            return val[1] > cfg.bp_min
+
+        u, _, total = lax.while_loop(
+            stage_cond, stage_body,
+            (u_local, bp0, jnp.asarray(0, jnp.int32)),
+        )
+        return u, total
+
+    sharded = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P()),
+        out_specs=(P(axis_name, None), P()),
+        check_vma=False,
+    )
+    return sharded(controls, initial_state)
