@@ -36,6 +36,12 @@ def main():
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
     p.add_argument("--platform", default=None, help="e.g. cpu to force CPU")
     p.add_argument("--outdir", default="bench_results")
+    p.add_argument(
+        "--save-controls", action="store_true",
+        help="also write {model}_controls_{dtype}.npz with the converged "
+        "controls per (solver, horizon) for cross-precision agreement "
+        "checks (examples/sweep_agreement.py)",
+    )
     args = p.parse_args()
 
     import jax
@@ -65,6 +71,7 @@ def main():
 
     os.makedirs(args.outdir, exist_ok=True)
     rows = {name: [] for name in wanted}
+    controls = {}
     jsonl_path = os.path.join(args.outdir, f"{args.model}_runtime.jsonl")
 
     with open(jsonl_path, "w") as jf:
@@ -100,6 +107,19 @@ def main():
                 print(json.dumps(rec))
                 jf.write(json.dumps(rec) + "\n")
                 rows[name].append((H, mean_s, median_s))
+                if args.save_controls:
+                    import numpy as np
+
+                    controls[f"{name}_h{H}"] = np.asarray(u_opt)
+
+    if args.save_controls:
+        import numpy as np
+
+        npz = os.path.join(
+            args.outdir, f"{args.model}_controls_{args.dtype}.npz"
+        )
+        np.savez(npz, **controls)
+        print(f"wrote {npz}", file=sys.stderr)
 
     for name, data in rows.items():
         path = os.path.join(args.outdir, f"{args.model}_ip_{name}.csv")

@@ -1,0 +1,113 @@
+"""Cross-precision agreement check for the (dt, H) runtime sweep.
+
+Loads the converged TPU-f32 controls saved by
+``runtime_benchmark.py --save-controls`` and, for each (solver, horizon)
+configuration, solves the same problem on CPU float64, then reports:
+
+* ``rel_cost_delta`` — |J(u_f32) - J(u_f64)| / |J(u_f64)| at the final
+  barrier stage, evaluated in f64.  The sharp agreement gate (default
+  1e-5): both precisions must land on the same optimum.
+* ``max_abs_du`` — control-space deviation.  Reported, not gated at 1e-4:
+  with gradient tolerance 1e-4 and control curvature ~R = 1e-3, the flat
+  valley admits ~1e-1 control slack — the reference's OWN seq-vs-ddp
+  solutions differ by 2e-3..4.4e-3 (see tests/test_reference_parity.py).
+
+Usage (after the f32 sweep on the TPU):
+
+    python examples/runtime_benchmark.py --model pendulum --save-controls
+    python examples/sweep_agreement.py --model pendulum
+
+Writes ``bench_results/{model}_agreement.jsonl`` and exits nonzero if any
+configuration misses the cost gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FINAL_BP = 0.1 / 5.0**4
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", choices=["pendulum", "cartpole", "quadrotor"],
+                   default="pendulum")
+    p.add_argument("--outdir", default="bench_results")
+    p.add_argument("--cost-rtol", type=float, default=1e-5)
+    p.add_argument("--f32-npz", default=None,
+                   help="controls npz (default {outdir}/{model}_controls_float32.npz)")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import ipoc_tpu
+    from ipoc_tpu.models import cartpole, pendulum, quadrotor
+    from ipoc_tpu.utils.integrators import rollout
+
+    model = {"pendulum": pendulum, "cartpole": cartpole,
+             "quadrotor": quadrotor}[args.model]
+    solvers = {
+        "par": ipoc_tpu.par_interior_point_optimal_control,
+        "seq": ipoc_tpu.seq_interior_point_optimal_control,
+        "ddp": ipoc_tpu.interior_point_ddp,
+    }
+    npz_path = args.f32_npz or os.path.join(
+        args.outdir, f"{args.model}_controls_float32.npz"
+    )
+    data = np.load(npz_path)
+    cfg = ipoc_tpu.DEFAULT_CONFIG
+    out_path = os.path.join(args.outdir, f"{args.model}_agreement.jsonl")
+    failures = 0
+
+    with open(out_path, "w") as out:
+        for key in sorted(data.files):
+            name, h = key.rsplit("_h", 1)
+            H = int(h)
+            dt = 1.0 / H
+            ocp = model.make_ocp(dt)
+            x0 = model.initial_state(jnp.float64)
+            if args.model == "quadrotor":
+                u0 = quadrotor.hover_controls(H, jnp.float64)
+            else:
+                u0 = 0.1 * jax.random.normal(
+                    jax.random.PRNGKey(1), (H, data[key].shape[-1])
+                )
+            u64, _ = jax.jit(
+                lambda u, x, s=solvers[name]: s(ocp, u, x, cfg)
+            )(u0, x0)
+            u32 = jnp.asarray(data[key], jnp.float64)
+
+            def cost(u):
+                x = rollout(ocp.dynamics, u, x0)
+                return float(ocp.total_cost(x, u, FINAL_BP))
+
+            c32, c64 = cost(u32), cost(u64)
+            rel = abs(c32 - c64) / max(abs(c64), 1e-12)
+            rec = {
+                "model": args.model, "solver": name, "horizon": H,
+                "rel_cost_delta": rel,
+                "max_abs_du": float(jnp.max(jnp.abs(u32 - u64))),
+                "cost_f32": c32, "cost_f64": c64,
+                "pass": rel <= args.cost_rtol,
+            }
+            failures += not rec["pass"]
+            print(json.dumps(rec))
+            out.write(json.dumps(rec) + "\n")
+
+    print(f"wrote {out_path}; {failures} failures", file=sys.stderr)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
