@@ -56,6 +56,12 @@ def main():
     p.add_argument("--matmul-passes", type=float, default=3.0,
                    help="bf16 passes per f32 product at precision=highest")
     p.add_argument("--peak-hbm-gbs", type=float, default=819.0)
+    p.add_argument("--peak-vpu-tflops", type=float, default=12.3,
+                   help="VPU f32 peak estimate: (8,128) lanes x 4 ALUs x "
+                   "2 flops x ~1.5 GHz")
+    p.add_argument("--path", choices=["fused", "unfused"], default="fused",
+                   help="which working-set model to normalize bytes with "
+                   "(BATCH_CONFIG streams run the fused kernel)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -97,50 +103,60 @@ def main():
     xla_bytes_per_step = float(ca.get("bytes accessed", 0.0))
     flops_per_lane_iter = flops_per_step / args.batch
 
-    # Analytic per-lane working set per iteration (the state a lane MUST
-    # stream per Newton iteration, ignoring all intermediates XLA/Pallas
-    # may keep resident): trajectory x (H+1, nx) + controls u (H, nu) read
-    # and written + per-stage Newton data r/Q/R/M/fx/fu.
+    # Analytic per-lane working sets per iteration.
+    # * unfused: trajectory + controls read/written twice (trial build and
+    #   accept) PLUS the per-stage Newton data r/Q/R/M/fx/fu staged through
+    #   HBM between the derivative phase and the Riccati kernel.
+    # * fused (the production BATCH_CONFIG path): the two-launch kernel
+    #   re-derives the model IN-KERNEL (fused_iter_kernel.py) — only the
+    #   lane state (x, u) crosses HBM, ~2 reads + 2 writes per iteration.
     stage_data = nu + nx * nx + nu * nu + nx * nu + nx * nx + nx * nu
     lane_state = (H + 1) * nx + H * nu
-    analytic_bytes_per_lane_iter = 4.0 * (
-        2 * 2 * lane_state + H * stage_data
-    )
+    bytes_unfused = 4.0 * (2 * 2 * lane_state + H * stage_data)
+    bytes_fused = 4.0 * (2 * 2 * lane_state)
 
     out = {
         "model": args.model, "horizon": H, "nx": nx, "nu": nu,
         "batch": args.batch,
         "flops_per_lane_iter": flops_per_lane_iter,
         "xla_bytes_per_lane_iter": xla_bytes_per_step / args.batch,
-        "analytic_bytes_per_lane_iter": analytic_bytes_per_lane_iter,
+        "analytic_bytes_per_lane_iter_unfused": bytes_unfused,
+        "analytic_bytes_per_lane_iter_fused": bytes_fused,
         "counted_on_platform": jax.devices()[0].platform,
     }
 
     if args.solves_per_sec and args.mean_iters:
         iters_per_sec = args.solves_per_sec * args.mean_iters
         achieved_flops = iters_per_sec * flops_per_lane_iter
-        achieved_gbs = iters_per_sec * analytic_bytes_per_lane_iter / 1e9
+        path_bytes = bytes_fused if args.path == "fused" else bytes_unfused
+        achieved_gbs = iters_per_sec * path_bytes / 1e9
         peak_f32_eff = args.peak_tflops_bf16 / args.matmul_passes
         out.update({
+            "path": args.path,
             "solves_per_sec": args.solves_per_sec,
             "mean_iters": args.mean_iters,
             "iters_per_sec": iters_per_sec,
             "achieved_tflops": achieved_flops / 1e12,
-            "pct_of_bf16_peak": 100 * achieved_flops
+            "pct_of_bf16_mxu_peak": 100 * achieved_flops
             / (args.peak_tflops_bf16 * 1e12),
-            "pct_of_f32_effective_peak": 100 * achieved_flops
+            "pct_of_f32_effective_mxu_peak": 100 * achieved_flops
             / (peak_f32_eff * 1e12),
+            "pct_of_vpu_f32_peak": 100 * achieved_flops
+            / (args.peak_vpu_tflops * 1e12),
             "achieved_hbm_gbs_analytic": achieved_gbs,
             "pct_of_hbm_peak": 100 * achieved_gbs / args.peak_hbm_gbs,
         })
-        # Bound classification: whichever resource is the largest fraction
-        # of its peak is the binding one; if both are <10%, the step is
-        # overhead-bound (launches, glue, sublane padding on tiny dims).
-        c = out["pct_of_f32_effective_peak"]
+        # Bound classification.  The per-stage matrices here are tiny
+        # (nx <= 13): the fused kernels execute on the VPU, so the VPU
+        # fraction — not the MXU one — is the compute axis.  Whichever of
+        # {VPU, HBM} holds the larger fraction binds; if both are <25%,
+        # the step is overhead-bound (kernel launches, glue ops, sublane
+        # padding of nx-wide rows into (8,128) vregs, while-loop sync).
+        c = out["pct_of_vpu_f32_peak"]
         b = out["pct_of_hbm_peak"]
         out["bound"] = (
-            "overhead" if max(c, b) < 10.0
-            else ("compute" if c >= b else "bandwidth")
+            "overhead" if max(c, b) < 25.0
+            else ("compute(vpu)" if c >= b else "bandwidth")
         )
     print(json.dumps(out, indent=2))
 
