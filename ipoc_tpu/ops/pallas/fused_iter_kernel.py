@@ -539,6 +539,28 @@ def _const_spec(rows, S):
                         memory_space=pltpu.VMEM)
 
 
+def _iter_spec(rows, S, T):
+    """Merged-kernel input walk over a (C, 2T) grid: newest-to-oldest
+    through the backward phase (grid steps t < T), oldest-to-newest through
+    the forward phase.  The phase boundary revisits block 0 (t = T-1 and
+    t = T both map there), so no extra fetch is paid."""
+    return pl.BlockSpec(
+        (1, 1, rows, S, LANES),
+        lambda b, t: (b, jnp.where(t < T, T - 1 - t, t - T), 0, 0, 0),
+        memory_space=pltpu.VMEM)
+
+
+def _iter_out_spec(rows, S, T):
+    """Merged-kernel per-stage output: parked on block 0 through the
+    backward phase (the window is only copied back when the block index
+    changes, and the forward phase's t == T step fully overwrites it before
+    that first change), then walking forward."""
+    return pl.BlockSpec(
+        (1, 1, rows, S, LANES),
+        lambda b, t: (b, jnp.maximum(t - T, 0), 0, 0, 0),
+        memory_space=pltpu.VMEM)
+
+
 def _stage_bwd_fn(ocp: OCP, nx: int, nu: int):
     """Per-element backward stage data (blocked by :func:`_blocked`).
 
@@ -624,6 +646,32 @@ def _stage_fwd_fn(ocp: OCP, nx: int, nu: int):
 def _term_fwd_fn(ocp: OCP):
     def term(xT, dxT):
         txT = xT + dxT
+        return txT, ocp.final_cost(txT)
+
+    return term
+
+
+def _stage_ddp_fwd_fn(ocp: OCP, nx: int, nu: int):
+    """Per-element DDP forward step: NONLINEAR closed-loop re-rollout
+    through the true dynamics (reference ddp:73-90; utils/integrators.py
+    closed_loop_rollout).  The carry is the trial state itself (not a
+    deviation): ``du = k + K (tx - x)``, ``tx+ = f(tx, u + du)``."""
+
+    def stage(x, u, bp, tx, Kk):
+        k = Kk[:nu]
+        K = Kk[nu:].reshape(nu, nx)
+        du = k + jnp.sum(K * (tx - x)[None, :], axis=1)
+        tu = u + du
+        txn = ocp.dynamics(tx, tu)
+        cst = ocp.stage_cost(tx, tu, bp)
+        cmax = jnp.max(ocp.constraints(tx, tu))
+        return tu, tx, txn, cst, cmax
+
+    return stage
+
+
+def _term_ddp_fwd_fn(ocp: OCP):
+    def term(xT, txT):
         return txT, ocp.final_cost(txT)
 
     return term
@@ -748,6 +796,154 @@ def _fused_fwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
         mc_o[0, 0] = mc_s[0]
 
 
+def _fused_iter_merged_kernel(*refs, nx, nu, T, stage_b, term_b, stage_f,
+                              term_f, n_cs_b, n_ct_b, n_cs_f, n_ct_f,
+                              ddp=False):
+    """Backward Riccati sweep + forward trial in ONE launch (grid (C, 2T)).
+
+    Grid steps ``t < T`` replay :func:`_fused_bwd_kernel`'s body with the
+    per-stage gains written to a VMEM scratch ring instead of an HBM
+    output; steps ``t >= T`` replay :func:`_fused_fwd_kernel`'s body
+    reading the gains back from scratch.  Saves one kernel launch and the
+    ``(T, ng)`` gains' HBM round trip per Newton iteration — the largest
+    per-iteration intermediate of the two-launch path
+    (docs/PERFORMANCE.md roofline: the step is launch/glue-overhead-bound).
+
+    ``ddp=True`` switches both phases to IP-DDP semantics (reference
+    differential_dynamic_programming.py:28-90, solvers/ip_ddp.py
+    ddp_trial_eval): the Hamiltonian stage data is contracted with the
+    VALUE GRADIENT ``Vx`` instead of the costates (so ``Qu = Hu``,
+    ``Qx = Hx`` directly, no separate costate recursion), the terminal
+    value carries ``Vx_T = grad(final_cost)``, the predicted reduction is
+    ``sum 1/2 k'Qu``, and the forward phase is the NONLINEAR closed-loop
+    re-rollout through the true dynamics (``stage_f`` must then be
+    :func:`_stage_ddp_fwd_fn`).
+    """
+    x_ref, u_ref, xT_ref, bp_ref, reg_ref = refs[:5]
+    i = 5
+    cs_b = [r[0] for r in refs[i:i + n_cs_b]]
+    i += n_cs_b
+    ct_b = [r[0] for r in refs[i:i + n_ct_b]]
+    i += n_ct_b
+    cs_f = [r[0] for r in refs[i:i + n_cs_f]]
+    i += n_cs_f
+    ct_f = [r[0] for r in refs[i:i + n_ct_f]]
+    i += n_ct_f
+    (tu_o, tx_o, txT_o, cost_o, dv_o, piv_o, hu_o, nc_o, mc_o) = (
+        refs[i:i + 9])
+    (Kk_s, Vxx_s, Vx_s, lam_s, dv_s, piv_s, cost_s, hu_s,
+     dx_s, nc_s, mc_s) = refs[i + 9:]
+    t = pl.program_id(1)
+
+    x = x_ref[0, 0]
+    u = u_ref[0, 0]
+    bp = bp_ref[0, 0]
+
+    @pl.when(t < T)
+    def _bwd():
+        @pl.when(t == 0)
+        def _():
+            lamT, VT, cT = term_b(xT_ref[0], *ct_b)
+            Vxx_s[:] = VT
+            # Newton splits the value gradient between the costates and
+            # the deviation recursion (Vx_N = 0, reference seq:66-67); DDP
+            # carries the full Vx (ddp:58-59).
+            Vx_s[:] = lamT if ddp else jnp.zeros_like(Vx_s)
+            lam_s[:] = lamT
+            dv_s[:] = jnp.zeros_like(dv_s)
+            piv_s[:] = jnp.full_like(piv_s, jnp.inf)
+            cost_s[:] = cT[None]
+            hu_s[:] = jnp.zeros_like(hu_s)
+
+        reg = reg_ref[0, 0]
+        contraction = Vx_s[:] if ddp else lam_s[:]
+        ru, Q, R, M, fx, fu, lam_new, cst = stage_b(x, u, bp, contraction,
+                                                    *cs_b)
+        R = jnp.stack(
+            [R[r] + reg if r % (nu + 1) == 0 else R[r]
+             for r in range(nu * nu)],
+            axis=0,
+        )
+
+        Vxx = Vxx_s[:]
+        Vx = Vx_s[:]
+        fxT = _transpose(fx, nx, nx)
+        fuT = _transpose(fu, nx, nu)
+        Vfx = _mm(Vxx, fx, nx, nx, nx)
+        Vfu = _mm(Vxx, fu, nx, nx, nu)
+        Qxx = _add_mm_sym(Q, fxT, Vfx, nx, nx)
+        Quu = _add_mm_sym(R, fuT, Vfu, nu, nx)
+        Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
+        if ddp:
+            # The Hamiltonian gradient (contracted with Vx) IS (Qx, Qu)
+            # (reference ddp:44-45).
+            Qu = ru
+            Qx = lam_new
+        else:
+            Qu = ru + _mv(fuT, Vx, nu, nx)
+            Qx = _mv(fxT, Vx, nx, nx)
+
+        rhs = _gain_rhs(Qu, _transpose(Qxu, nx, nu), nx, nu)
+        sol, piv = _solve_track(Quu, rhs, nu, 1 + nx)
+        kg = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)], axis=0)
+        K = -jnp.stack(
+            [sol[i_ * (1 + nx) + 1 + j]
+             for i_ in range(nu) for j in range(nx)],
+            axis=0,
+        )
+        if not ddp:
+            piv = jnp.minimum(piv, _pivots_only(R, nu))
+
+        Kk_s[pl.ds(T - 1 - t, 1)] = jnp.concatenate([kg, K], axis=0)[None]
+        Vx_s[:] = Qx + _mv(Qxu, kg, nx, nu)
+        Vxx_s[:] = _add_mm_sym(Qxx, Qxu, K, nx, nu)
+        if ddp:
+            # dV = -1/2 Qu' Quu^{-1} Qu = 1/2 k'Qu (ddp:53,58).
+            dv_s[:] = dv_s[:] + (0.5 * _dot(kg, Qu, nu))[None]
+        else:
+            dv_s[:] = dv_s[:] + (
+                _dot(kg, Qu, nu) + 0.5 * _dot(kg, _mv(Quu, kg, nu, nu), nu)
+            )[None]
+        piv_s[:] = jnp.minimum(piv_s[:], piv[None])
+        cost_s[:] = cost_s[:] + cst[None]
+        hu_s[:] = jnp.maximum(hu_s[:], jnp.max(jnp.abs(ru), axis=0)[None])
+        if not ddp:
+            lam_s[:] = lam_new
+
+        @pl.when(t == T - 1)
+        def _():
+            cost_o[0, 0] = cost_s[0]
+            dv_o[0, 0] = dv_s[0]
+            piv_o[0, 0] = piv_s[0]
+            hu_o[0, 0] = hu_s[0]
+
+    @pl.when(t >= T)
+    def _fwd():
+        @pl.when(t == T)
+        def _():
+            # Newton carries the deviation (dx_0 = 0, reference seq:78-90);
+            # DDP carries the trial state itself, starting at x_0 (the
+            # block delivered at this first forward step IS stage 0).
+            dx_s[:] = x if ddp else jnp.zeros_like(dx_s)
+            nc_s[:] = jnp.zeros_like(nc_s)
+            mc_s[:] = jnp.full_like(mc_s, -jnp.inf)
+
+        Kk = Kk_s[pl.ds(t - T, 1)][0]
+        tu, tx, dxn, cst, cmax = stage_f(x, u, bp, dx_s[:], Kk, *cs_f)
+        tu_o[0, 0] = tu
+        tx_o[0, 0] = tx
+        nc_s[:] = nc_s[:] + cst[None]
+        mc_s[:] = jnp.maximum(mc_s[:], cmax[None])
+        dx_s[:] = dxn
+
+        @pl.when(t == 2 * T - 1)
+        def _():
+            txT, cT = term_f(xT_ref[0], dx_s[:], *ct_f)
+            txT_o[0] = txT
+            nc_o[0, 0] = nc_s[0] + cT
+            mc_o[0, 0] = mc_s[0]
+
+
 # ---------------------------------------------------------------------------
 # Host wrapper
 # ---------------------------------------------------------------------------
@@ -765,13 +961,42 @@ def _pack_vec(v, Bp, S):
     )
 
 
+_MERGED_VMEM_BUDGET = 6 * 2 ** 20
+
+
+def _merged_fits(T, nx, nu, S, dtype) -> bool:
+    """Gate for the one-launch merged kernel: its VMEM scratch (dominated
+    by the (T, (1+nx)*nu) gains ring) must leave headroom for the block
+    windows and double buffering within the ~16 MB/core VMEM."""
+    ng = (1 + nx) * nu
+    rows = T * ng + nx * nx + 3 * nx + 7
+    return rows * S * LANES * jnp.dtype(dtype).itemsize <= _MERGED_VMEM_BUDGET
+
+
+def _use_merged(T, nx, nu, S, dtype) -> bool:
+    import os
+
+    if os.environ.get("IPOC_FUSED_MERGED", "1") == "0":
+        return False
+    return _merged_fits(T, nx, nu, S, dtype)
+
+
 def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
                               sublanes: int = SUBLANES,
-                              interpret: bool = False):
-    """One fully-fused batched Newton iteration (two Pallas launches).
+                              interpret: bool = False,
+                              merged: bool | None = None,
+                              ddp: bool = False):
+    """One fully-fused batched Newton iteration (one or two Pallas launches).
 
     Shapes: x (B,T+1,nx), u (B,T,nu), bp (B,), reg (B,) — reg is the
     Levenberg parameter already scaled by max(||cu||_F, floor).
+
+    By default the backward sweep and the forward trial run as ONE merged
+    launch (gains staged through VMEM scratch, :func:`_fused_iter_merged_kernel`)
+    whenever the gains ring fits VMEM (:func:`_merged_fits`); long horizons
+    fall back to the two-launch version with the gains staged through HBM.
+    ``merged`` forces the choice; ``IPOC_FUSED_MERGED=0`` disables merging
+    globally.
 
     Returns ``(temp_x, temp_u, cost, new_cost_raw, max_constraint, pred,
     bwd_ok, Hu_norm)`` with temp_x (B,T+1,nx), temp_u (B,T,nu) and the rest
@@ -802,17 +1027,99 @@ def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
         sds((nx,)),
     )
     term_b, ct_b = _lift(_term_fn(ocp, nx), sds((nx,)))
+    fwd_fn = _stage_ddp_fwd_fn if ddp else _stage_fwd_fn
     stage_f, cs_f = _lift(
-        _stage_fwd_fn(ocp, nx, nu), sds((nx,)), sds((nu,)), sds(()),
+        fwd_fn(ocp, nx, nu), sds((nx,)), sds((nu,)), sds(()),
         sds((nx,)), sds((ng,)),
     )
-    term_f, ct_f = _lift(_term_fwd_fn(ocp), sds((nx,)), sds((nx,)))
+    term_f, ct_f = _lift(
+        (_term_ddp_fwd_fn if ddp else _term_fwd_fn)(ocp),
+        sds((nx,)), sds((nx,)),
+    )
 
     const_spec = lambda rows: _const_spec(rows, S)      # noqa: E731
     rev_spec = lambda rows: _rev_spec(rows, S, T)       # noqa: E731
     fwd_spec = lambda rows: _fwd_spec(rows, S)          # noqa: E731
     bcast_spec = lambda rows: _bcast_spec(rows, S)      # noqa: E731
     scal_spec = lambda: _scal_spec(S)                   # noqa: E731
+
+    if merged is None:
+        merged = _use_merged(T, nx, nu, S, dtype)
+    if ddp and not merged:
+        raise ValueError(
+            "the fused DDP iteration is only implemented as the merged "
+            "one-launch kernel (gains ring must fit VMEM; see _merged_fits)"
+        )
+    if merged:
+        ker = functools.partial(
+            _fused_iter_merged_kernel, nx=nx, nu=nu, T=T,
+            stage_b=stage_b, term_b=term_b, stage_f=stage_f, term_f=term_f,
+            n_cs_b=len(cs_b), n_ct_b=len(ct_b),
+            n_cs_f=len(cs_f), n_ct_f=len(ct_f), ddp=ddp,
+        )
+        ng_rows = ng
+        with jax.enable_x64(False):
+            (tu_p, tx_p, txT_p, cost_p, dv_p, piv_p, hu_p, nc_p,
+             mc_p) = pl.pallas_call(
+                ker,
+                grid=(C, 2 * T),
+                out_shape=(
+                    jax.ShapeDtypeStruct((C, T, nu, S, LANES), dtype),
+                    jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
+                    jax.ShapeDtypeStruct((C, nx, S, LANES), dtype),
+                    jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                    jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                    jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                    jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                    jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                    jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                ),
+                in_specs=[
+                    _iter_spec(nx, S, T), _iter_spec(nu, S, T),
+                    bcast_spec(nx), scal_spec(), scal_spec(),
+                ] + [const_spec(c.size) for c in cs_b]
+                  + [const_spec(c.size) for c in ct_b]
+                  + [const_spec(c.size) for c in cs_f]
+                  + [const_spec(c.size) for c in ct_f],
+                out_specs=(
+                    _iter_out_spec(nu, S, T), _iter_out_spec(nx, S, T),
+                    bcast_spec(nx), scal_spec(), scal_spec(), scal_spec(),
+                    scal_spec(), scal_spec(), scal_spec(),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((T, ng_rows, S, LANES), dtype),
+                    pltpu.VMEM((nx * nx, S, LANES), dtype),
+                    pltpu.VMEM((nx, S, LANES), dtype),
+                    pltpu.VMEM((nx, S, LANES), dtype),
+                    pltpu.VMEM((1, S, LANES), dtype),
+                    pltpu.VMEM((1, S, LANES), dtype),
+                    pltpu.VMEM((1, S, LANES), dtype),
+                    pltpu.VMEM((1, S, LANES), dtype),
+                    pltpu.VMEM((nx, S, LANES), dtype),
+                    pltpu.VMEM((1, S, LANES), dtype),
+                    pltpu.VMEM((1, S, LANES), dtype),
+                ],
+                interpret=interpret,
+            )(xs_p, u_p, xT_p, bp_p, reg_p,
+              *_pack_consts(cs_b, S), *_pack_consts(ct_b, S),
+              *_pack_consts(cs_f, S), *_pack_consts(ct_f, S))
+
+        temp_u = _unpack_s(tu_p, B, (nu,))
+        tx_stages = _unpack_s(tx_p, B, (nx,))
+        txT = _unpack_s(txT_p[:, None], B, (nx,))[:, 0]
+        temp_x = jnp.concatenate([tx_stages, txT[:, None]], axis=1)
+
+        def _scal_m(p):
+            return _unpack_s(p[:, None], B, (1,))[:, 0, 0]
+
+        cost = _scal_m(cost_p)
+        new_cost_raw = _scal_m(nc_p)
+        max_c = _scal_m(mc_p)
+        pred = _scal_m(dv_p)
+        piv = _scal_m(piv_p)
+        hu = _scal_m(hu_p)
+        ok = jnp.isfinite(piv) & (piv > 0) & jnp.isfinite(pred)
+        return temp_x, temp_u, cost, new_cost_raw, max_c, pred, ok, hu
 
     bwd = functools.partial(
         _fused_bwd_kernel, nx=nx, nu=nu, T=T,
@@ -980,6 +1287,59 @@ def make_fused_iter(ocp: OCP):
         else:
             out = jax.vmap(
                 lambda a, b, c, d: _fused_reference(ocp, a, b, c, d)
+            )(x, u, bp, reg)
+        return out, (True,) * 8
+
+    return fused
+
+
+def _fused_ddp_reference(ocp: OCP, x, u, bp, reg):
+    """Unbatched reference composition of the fused DDP iteration
+    (solvers/ip_ddp.py ddp_trial_eval with the ``||cu||`` reg scale hoisted
+    out, matching the kernel's interface).  Reference semantics:
+    differential_dynamic_programming.py:28-90."""
+    from ipoc_tpu.ops.derivatives import compute_derivatives
+    from ipoc_tpu.solvers.ip_ddp import ddp_bwd_core
+    from ipoc_tpu.utils.integrators import closed_loop_rollout
+
+    cost = ocp.total_cost(x, u, bp)
+    d = compute_derivatives(ocp, x, u, bp)
+    ffgain, gain, pred, ok, Qu = ddp_bwd_core(ocp.final_cost, x[-1], d, reg)
+    temp_x, temp_u = closed_loop_rollout(ocp.dynamics, gain, ffgain, x, u)
+    new_cost_raw = ocp.total_cost(temp_x, temp_u, bp)
+    max_c = jnp.max(jax.vmap(ocp.constraints)(temp_x[:-1], temp_u))
+    hu = jnp.max(jnp.abs(Qu))
+    return temp_x, temp_u, cost, new_cost_raw, max_c, pred, ok, hu
+
+
+def make_fused_ddp_iter(ocp: OCP):
+    """Per-lane fused DDP iteration; under vmap dispatches the ONE-launch
+    merged kernel in DDP mode (value-gradient-contracted backward sweep +
+    nonlinear closed-loop re-rollout), falling back to the vmapped
+    reference composition off-TPU / f64 / horizons whose gains ring
+    exceeds VMEM."""
+
+    @jax.custom_batching.custom_vmap
+    def fused(x, u, bp, reg):
+        return _fused_ddp_reference(ocp, x, u, bp, reg)
+
+    @fused.def_vmap
+    def _fused_vmap(axis_size, in_batched, x, u, bp, reg):
+        from ipoc_tpu.ops.pallas.seq_newton_kernel import _broadcast_unbatched
+
+        x, u, bp, reg = _broadcast_unbatched(
+            axis_size, in_batched, (x, u, bp, reg)
+        )
+        nx = x.shape[-1]
+        nu = u.shape[-1]
+        T = u.shape[-2]
+        S = max(1, _stream_sublanes(axis_size))
+        if use_fused_iter(x.dtype, nx) and _use_merged(T, nx, nu, S, x.dtype):
+            out = fused_newton_iter_batched(ocp, x, u, bp, reg, sublanes=S,
+                                            ddp=True)
+        else:
+            out = jax.vmap(
+                lambda a, b, c, d: _fused_ddp_reference(ocp, a, b, c, d)
             )(x, u, bp, reg)
         return out, (True,) * 8
 

@@ -35,6 +35,13 @@ def ddp_bwd_pass(final_cost, final_state, d: Derivatives, reg_param,
     rp = reg_param * jnp.maximum(
         jnp.linalg.norm(d.cu), jnp.asarray(scale_floor, d.cu.dtype)
     )
+    return ddp_bwd_core(final_cost, final_state, d, rp)
+
+
+def ddp_bwd_core(final_cost, final_state, d: Derivatives, rp):
+    """:func:`ddp_bwd_pass` with the Levenberg parameter ``rp`` already
+    scaled (the fused DDP kernel computes the ``||cu||`` scale outside the
+    launch, like the fused Newton path — ip_newton._trial_eval)."""
 
     def step(carry, inp):
         Vx, Vxx = carry

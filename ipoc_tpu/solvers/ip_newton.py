@@ -320,10 +320,27 @@ def _trial_eval(ocp: OCP, x, u, bp, rp, cfg: SolverConfig):
         # DDP as a throughput path: the flat/stream executors drive DDP
         # lanes through this evaluator (reference ships DDP as a peer
         # solver, ddp:98-186; here it gets the same batched machinery as
-        # the Newton step).
-        from ipoc_tpu.solvers.ip_ddp import ddp_trial_eval
+        # the Newton step).  On TPU/f32 the whole evaluation runs as the
+        # ONE-launch merged kernel in DDP mode (value-gradient-contracted
+        # backward sweep + nonlinear re-rollout in-kernel); elsewhere the
+        # custom_vmap falls back to the unfused composition
+        # (ddp_trial_eval semantics with the reg scale hoisted out).
+        from ipoc_tpu.ops.pallas.fused_iter_kernel import make_fused_ddp_iter
 
-        return ddp_trial_eval(ocp, x, u, bp, rp, cfg)
+        cu = jax.vmap(
+            lambda xx, uu: grad(ocp.stage_cost, 1)(xx, uu, bp)
+        )(x[:-1], u)
+        # DDP scales the Levenberg parameter by ||cu|| unconditionally
+        # (reference ddp:34-35).
+        reg = rp * jnp.maximum(
+            jnp.linalg.norm(cu),
+            jnp.asarray(cfg.reg_scale_floor, cu.dtype),
+        )
+        fused = make_fused_ddp_iter(ocp)
+        (temp_x, temp_u, cost, nc_raw, max_c, pred, bwd_feasible,
+         Hu_norm) = fused(x, u, bp, reg)
+        new_cost = jnp.where(max_c <= 0.0, nc_raw, jnp.inf)
+        return cost, temp_x, temp_u, pred, bwd_feasible, Hu_norm, new_cost
 
     if cfg.newton_impl == "fused":
         from ipoc_tpu.ops.pallas.fused_iter_kernel import make_fused_iter
@@ -514,14 +531,20 @@ def flat_lane_init(ocp: OCP, controls, initial_state, cfg: SolverConfig,
     )
 
 
-def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig) -> FlatLane:
+def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig,
+                   adv=None) -> FlatLane:
     """One Newton iteration (plus any stage transition) of a flat-mode solve.
 
     Per lane this replays exactly the staged single-trial solve
     (:func:`_newton_stage_par_single` under :func:`barrier_loop`): the same
     trial sequence, the same per-stage regularization resets, the same
     rollout at each stage start, the same stage tolerances.  Callers must
-    only apply it to lanes with ``done == False``.
+    only apply it to lanes with ``done == False`` — or pass ``adv`` (scalar
+    bool per lane): with ``adv=False`` the lane is returned EXACTLY
+    unchanged, the mask folded into the iteration's own selects so batched
+    callers need no separate whole-tree lane select on top (the streaming
+    executor's inner step previously paid a second full (x, u, u_prev)
+    select per iteration just to freeze finished lanes).
 
     One (documented) deviation from the staged driver: a lane whose
     cost/gradient goes non-finite is retired immediately instead of burning
@@ -530,6 +553,8 @@ def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig) -> FlatLane:
     x, u, bp = lane.x, lane.u, lane.bp
     rp, r_inc = lane.rp, lane.r_inc
     dtype = u.dtype
+    if adv is None:
+        adv = jnp.asarray(True)
     cost, temp_x, temp_u, pred, bwd_feasible, Hu_norm, new_cost = (
         _trial_eval(ocp, x, u, bp, rp, cfg)
     )
@@ -538,7 +563,10 @@ def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig) -> FlatLane:
     stalled = jnp.logical_and(
         jnp.logical_not(accept), rp >= cfg.reg_max
     ) & bool(cfg.stall_exit)
-    rp, r_inc = lm_update(rp, r_inc, rho, accept, cfg)
+    rp_new, r_inc_new = lm_update(rp, r_inc, rho, accept, cfg)
+    rp = jnp.where(adv, rp_new, rp)
+    r_inc = jnp.where(adv, r_inc_new, r_inc)
+    accept = jnp.logical_and(accept, adv)
     x = jnp.where(accept, temp_x, x)
     u = jnp.where(accept, temp_u, u)
 
@@ -557,12 +585,14 @@ def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig) -> FlatLane:
         jnp.logical_not(jnp.isfinite(Hu_norm)),
         jnp.logical_not(jnp.isfinite(cost)),
     )
+    bad = jnp.logical_and(bad, adv)
     # Stage ends on convergence, stall, or the per-stage iteration cap
     # (staged parity: _newton_stage_par_single runs while t <= cap).
     advance = jnp.logical_or(
         jnp.logical_or(conv, stalled), lane.stage_it + 1 > cfg.max_newton_iters
     )
     advance = jnp.logical_and(advance, jnp.logical_not(bad))
+    advance = jnp.logical_and(advance, adv)
     bp_next = bp / cfg.bp_decay
     done_now = jnp.logical_or(
         bad, jnp.logical_and(advance, bp_next <= cfg.bp_min)
@@ -602,9 +632,11 @@ def flat_lane_iter(ocp: OCP, lane: FlatLane, cfg: SolverConfig) -> FlatLane:
                  else cfg.reg_stage_init)
     rp = jnp.where(advance, jnp.asarray(stage_reg, dtype), rp)
     r_inc = jnp.where(advance, jnp.asarray(cfg.reg_inc_init, dtype), r_inc)
-    stage_it = jnp.where(advance, jnp.asarray(0, jnp.int32), lane.stage_it + 1)
+    tick = adv.astype(jnp.int32)
+    stage_it = jnp.where(advance, jnp.asarray(0, jnp.int32),
+                         lane.stage_it + tick)
     return FlatLane(
-        x0=lane.x0, x=x, u=u, u_prev=u_prev, it=lane.it + 1,
+        x0=lane.x0, x=x, u=u, u_prev=u_prev, it=lane.it + tick,
         stage_it=stage_it,
         rp=rp, r_inc=r_inc, bp=bp, bp0=lane.bp0,
         done=jnp.logical_or(lane.done, done_now),

@@ -101,7 +101,7 @@ def solve_stream(
         rp_init = jnp.full((N,), cfg.reg_init, dtype)
     init = jax.vmap(
         lambda u, x, b, r: flat_lane_init(ocp, u, x, cfg, bp0=b, rp0=r))
-    step = jax.vmap(partial(flat_lane_iter, ocp, cfg=cfg))
+    step = jax.vmap(lambda ln, adv: flat_lane_iter(ocp, ln, cfg, adv))
 
     lanes0 = init(controls[:B], initial_states[:B], bp_init[:B],
                   rp_init[:B])
@@ -146,7 +146,10 @@ def solve_stream(
             ln, s = c
             for _ in range(unroll):
                 adv = jnp.logical_and(active, jnp.logical_not(ln.done))
-                ln = _select(adv, step(ln), ln)
+                # The advance mask is folded into flat_lane_iter's own
+                # selects (adv=False lanes come back exactly unchanged), so
+                # no second whole-tree lane select is paid here.
+                ln = step(ln, adv)
             return ln, s + unroll
 
         lanes, dt = lax.while_loop(

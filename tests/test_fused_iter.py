@@ -30,9 +30,11 @@ SINGLE = ipoc_tpu.FAST_CONFIG.replace(
 )
 
 
+@pytest.mark.parametrize("merged", [False, True])
 @pytest.mark.parametrize("model", [cartpole, pendulum])
-def test_kernel_matches_reference_composition(model):
-    """Interpret-mode two-launch kernel == unfused composition (f32)."""
+def test_kernel_matches_reference_composition(model, merged):
+    """Interpret-mode kernel (merged one-launch and two-launch variants)
+    == unfused composition (f32)."""
     T, B = 24, 4
     ocp = model.make_ocp(1.0 / T)
     x0 = model.initial_state(jnp.float32)
@@ -46,9 +48,44 @@ def test_kernel_matches_reference_composition(model):
 
     with jax.enable_x64(False):
         ker = fused_newton_iter_batched(ocp, X, u0, bp, reg, sublanes=1,
-                                        interpret=True)
+                                        interpret=True, merged=merged)
         ref = jax.vmap(lambda x, u, b, r: _fused_reference(ocp, x, u, b, r)
                        )(X, u0, bp, reg)
+    names = ["temp_x", "temp_u", "cost", "new_cost", "max_c", "pred", "ok",
+             "hu"]
+    for nm, a, b in zip(names, ker, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == bool:
+            np.testing.assert_array_equal(a, b, err_msg=nm)
+        else:
+            np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5,
+                                       err_msg=nm)
+
+
+@pytest.mark.parametrize("model", [cartpole, pendulum])
+def test_ddp_kernel_matches_reference_composition(model):
+    """Interpret-mode merged kernel in DDP mode == unfused DDP composition
+    (value-gradient-contracted sweep + nonlinear re-rollout, f32)."""
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import _fused_ddp_reference
+
+    T, B = 24, 4
+    ocp = model.make_ocp(1.0 / T)
+    x0 = model.initial_state(jnp.float32)
+    u0, x0b = make_batch(
+        jax.random.PRNGKey(0), x0, B, T, 1,
+        state_scale=0.05, control_scale=0.1, dtype=jnp.float32,
+    )
+    X = jax.vmap(lambda u, x: rollout(ocp.dynamics, u, x))(u0, x0b)
+    bp = jnp.full((B,), 0.1, jnp.float32)
+    reg = jnp.full((B,), 3.0, jnp.float32)
+
+    with jax.enable_x64(False):
+        ker = fused_newton_iter_batched(ocp, X, u0, bp, reg, sublanes=1,
+                                        interpret=True, merged=True,
+                                        ddp=True)
+        ref = jax.vmap(
+            lambda x, u, b, r: _fused_ddp_reference(ocp, x, u, b, r)
+        )(X, u0, bp, reg)
     names = ["temp_x", "temp_u", "cost", "new_cost", "max_c", "pred", "ok",
              "hu"]
     for nm, a, b in zip(names, ker, ref):
