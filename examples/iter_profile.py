@@ -19,12 +19,15 @@ Usage: python examples/iter_profile.py [--lanes 2048] [--horizon 100]
 
 import argparse
 import functools
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 jax.config.update("jax_default_matmul_precision", "highest")
 
 from ipoc_tpu.config import DEFAULT_CONFIG

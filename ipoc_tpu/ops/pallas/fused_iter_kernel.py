@@ -974,9 +974,15 @@ def _merged_fits(T, nx, nu, S, dtype) -> bool:
 
 
 def _use_merged(T, nx, nu, S, dtype) -> bool:
+    """Default OFF for the Newton path: measured end-to-end on v5e the
+    merged kernel is ~5% SLOWER than two launches (166 vs 158 us/step in
+    the stream at B=2048, T=100) — the saved launch + gains round trip do
+    not pay for the conditional-index-map overhead (docs/PERFORMANCE.md).
+    ``IPOC_FUSED_MERGED=1`` re-enables it for measurement.  The DDP path
+    always uses the merged kernel (its only fused implementation)."""
     import os
 
-    if os.environ.get("IPOC_FUSED_MERGED", "1") == "0":
+    if os.environ.get("IPOC_FUSED_MERGED", "0") != "1":
         return False
     return _merged_fits(T, nx, nu, S, dtype)
 
@@ -1334,9 +1340,10 @@ def make_fused_ddp_iter(ocp: OCP):
         nu = u.shape[-1]
         T = u.shape[-2]
         S = max(1, _stream_sublanes(axis_size))
-        if use_fused_iter(x.dtype, nx) and _use_merged(T, nx, nu, S, x.dtype):
+        if use_fused_iter(x.dtype, nx) and _merged_fits(T, nx, nu, S,
+                                                        x.dtype):
             out = fused_newton_iter_batched(ocp, x, u, bp, reg, sublanes=S,
-                                            ddp=True)
+                                            ddp=True, merged=True)
         else:
             out = jax.vmap(
                 lambda a, b, c, d: _fused_ddp_reference(ocp, a, b, c, d)
