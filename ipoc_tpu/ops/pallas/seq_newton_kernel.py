@@ -698,9 +698,22 @@ def _stream_sublanes(axis_size: int):
 
     Returns 0 when the batch is too small to fill multi-sublane tiles (the
     whole-horizon-in-VMEM kernel with batch-in-lanes wins there).
+
+    ``IPOC_KERNEL_SUBLANES`` can force a DEEPER packing (16/32 sublanes =
+    2/4 f32 vregs per row op): more lanes per grid step amortizes the fixed
+    per-step cost (index maps, window bookkeeping) over fewer, fatter
+    steps.  Measured on v5e at B=2048 in the stream (docs/PERFORMANCE.md):
+    S=16 is ~11% faster per step than S=8 end-to-end (140.2 vs 157.7 us),
+    so 16 is the default where the batch fills it.
     """
+    import os
+
     s = axis_size // LANES
-    for cand in (8, 4, 2):
+    cands = (16, 8, 4, 2)
+    env = os.environ.get("IPOC_KERNEL_SUBLANES", "")
+    if env:
+        cands = (int(env),) + cands
+    for cand in cands:
         if s >= cand:
             return cand
     return 0
