@@ -699,17 +699,18 @@ def _stream_sublanes(axis_size: int):
     Returns 0 when the batch is too small to fill multi-sublane tiles (the
     whole-horizon-in-VMEM kernel with batch-in-lanes wins there).
 
-    ``IPOC_KERNEL_SUBLANES`` can force a DEEPER packing (16/32 sublanes =
-    2/4 f32 vregs per row op): more lanes per grid step amortizes the fixed
-    per-step cost (index maps, window bookkeeping) over fewer, fatter
-    steps.  Measured on v5e at B=2048 in the stream (docs/PERFORMANCE.md):
-    S=16 is ~11% faster per step than S=8 end-to-end (140.2 vs 157.7 us),
-    so 16 is the default where the batch fills it.
+    Deep packings (16/32 sublanes = 2/4 f32 vregs per row op) amortize the
+    fixed per-grid-step cost (index maps, window bookkeeping) over fewer,
+    fatter steps.  Measured on v5e in the single-grid stream
+    (docs/PERFORMANCE.md): at B=2048, S=16 beats S=8 by ~11% per step
+    (140.2 vs 157.7 us); at B=4096, S=32 beats S=16 by ~6% (115.7k vs
+    109.2k solves/s) — the rule takes the deepest packing the batch fills.
+    ``IPOC_KERNEL_SUBLANES`` forces a specific packing for measurement.
     """
     import os
 
     s = axis_size // LANES
-    cands = (16, 8, 4, 2)
+    cands = (32, 16, 8, 4, 2)
     env = os.environ.get("IPOC_KERNEL_SUBLANES", "")
     if env:
         cands = (int(env),) + cands

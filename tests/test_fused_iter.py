@@ -31,7 +31,10 @@ SINGLE = ipoc_tpu.FAST_CONFIG.replace(
 
 
 @pytest.mark.parametrize("merged", [False, True])
-@pytest.mark.parametrize("model", [cartpole, pendulum])
+@pytest.mark.parametrize("model", [
+    pytest.param(cartpole, marks=pytest.mark.slow),
+    pendulum,
+])
 def test_kernel_matches_reference_composition(model, merged):
     """Interpret-mode kernel (merged one-launch and two-launch variants)
     == unfused composition (f32)."""
@@ -62,7 +65,10 @@ def test_kernel_matches_reference_composition(model, merged):
                                        err_msg=nm)
 
 
-@pytest.mark.parametrize("model", [cartpole, pendulum])
+@pytest.mark.parametrize("model", [
+    pytest.param(cartpole, marks=pytest.mark.slow),
+    pendulum,
+])
 def test_ddp_kernel_matches_reference_composition(model):
     """Interpret-mode merged kernel in DDP mode == unfused DDP composition
     (value-gradient-contracted sweep + nonlinear re-rollout, f32)."""

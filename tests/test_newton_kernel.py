@@ -97,6 +97,7 @@ def test_fused_vmap_batch_rule():
                                        rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_solver_end_to_end_with_fused_kernel():
     """Full pendulum solve with all kernels forced on (interpreter) matches
     the pure-XLA solve."""

@@ -58,6 +58,7 @@ def test_cross_solver_agreement(solved):
                                atol=2e-3)
 
 
+@pytest.mark.slow
 def test_fused_kernel_interpret_nu2():
     """The fused-iteration kernel handles nu=2 / nx=6 (interpret mode)."""
     from ipoc_tpu.ops.pallas.fused_iter_kernel import (

@@ -104,7 +104,10 @@ def test_seq_matches_reference_exactly(name, model):
     assert int(it_mine) == int(it_ref)
 
 
-@pytest.mark.parametrize("name,model", MODELS)
+@pytest.mark.parametrize("name,model", [
+    pytest.param("pendulum", pendulum, marks=pytest.mark.slow),
+    ("cartpole", cartpole),
+])
 def test_ddp_matches_reference_solution(name, model):
     """ipoc_tpu IP-DDP converges to the same solution as the reference
     IP-DDP: equal cost (rtol 1e-8), reference-criterion stationarity,
@@ -126,7 +129,10 @@ def test_ddp_matches_reference_solution(name, model):
 
 
 @pytest.mark.parametrize("terminal_hessian", ["reference", "exact"])
-@pytest.mark.parametrize("name,model", MODELS)
+@pytest.mark.parametrize("name,model", [
+    ("pendulum", pendulum),
+    pytest.param("cartpole", cartpole, marks=pytest.mark.slow),
+])
 def test_par_matches_reference_solution(name, model, terminal_hessian):
     """ipoc_tpu parallel IP Newton converges to the reference sequential
     solver's solution (the reference's own validation strategy, SURVEY §4:

@@ -34,7 +34,10 @@ def _stage_data(model, T, rp=1.0, bp=0.1, dtype=jnp.float32):
     return ocp, d, lin_reg, XT
 
 
-@pytest.mark.parametrize("model,T,nx", [(cartpole, 40, 4), (pendulum, 60, 2)])
+@pytest.mark.parametrize("model,T,nx", [
+    (cartpole, 40, 4),
+    pytest.param(pendulum, 60, 2, marks=pytest.mark.slow),
+])
 def test_seq_trial_scan_matches_par_pipeline(model, T, nx):
     """The pure-JAX sequential fallback == the parallel LQT pipeline (f64)."""
     ocp, d, lin_reg, XT = _stage_data(model, T, dtype=jnp.float64)
@@ -50,7 +53,10 @@ def test_seq_trial_scan_matches_par_pipeline(model, T, nx):
     assert bool(ok) == bool(feas_ref)
 
 
-@pytest.mark.parametrize("model,T,nx", [(cartpole, 40, 4), (pendulum, 60, 2)])
+@pytest.mark.parametrize("model,T,nx", [
+    pytest.param(cartpole, 40, 4, marks=pytest.mark.slow),
+    (pendulum, 60, 2),
+])
 def test_seq_kernel_matches_scan(model, T, nx):
     """The Pallas kernel (interpret) == the scan fallback, batched (f32)."""
     _, d, lin_reg, XT = _stage_data(model, T, dtype=jnp.float32)
@@ -70,6 +76,7 @@ def test_seq_kernel_matches_scan(model, T, nx):
         assert bool(ok[b]) == bool(ok_ref)
 
 
+@pytest.mark.slow
 def test_seq_kernel_infeasible_flag():
     """A negative-definite regularized control weight must trip ok=False."""
     _, d, lin_reg, XT = _stage_data(cartpole, 24, dtype=jnp.float32)
@@ -202,8 +209,10 @@ def _lane_batch(a, B, key, scale=1e-3):
     return a[None] + noise
 
 
-@pytest.mark.parametrize("model,T,nx,S", [(cartpole, 17, 4, 2),
-                                          (pendulum, 23, 2, 2)])
+@pytest.mark.parametrize("model,T,nx,S", [
+    (cartpole, 17, 4, 2),
+    pytest.param(pendulum, 23, 2, 2, marks=pytest.mark.slow),
+])
 def test_streamed_kernel_matches_batched(model, T, nx, S):
     """The sublane-packed T-streamed kernel (interpret) == the
     whole-horizon-in-VMEM kernel, lane for lane, including batch padding."""
@@ -239,6 +248,7 @@ def test_streamed_kernel_matches_batched(model, T, nx, S):
     np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
 
 
+@pytest.mark.slow
 def test_streamed_costates_match_batched():
     from ipoc_tpu.ops.pallas.seq_newton_kernel import (
         seq_costates_batched,
@@ -273,4 +283,16 @@ def test_stream_sublanes_rule():
     assert _stream_sublanes(256) == 2
     assert _stream_sublanes(700) == 4
     assert _stream_sublanes(1024) == 8
-    assert _stream_sublanes(4096) == 8
+    # Deepest packing the batch fills (S=16/32 = 2/4 f32 vregs per row op;
+    # measured wins on v5e, docs/PERFORMANCE.md).
+    assert _stream_sublanes(2048) == 16
+    assert _stream_sublanes(4096) == 32
+    # IPOC_KERNEL_SUBLANES forces a specific packing for measurement.
+    import os
+
+    os.environ["IPOC_KERNEL_SUBLANES"] = "8"
+    try:
+        assert _stream_sublanes(4096) == 8
+        assert _stream_sublanes(128) == 0
+    finally:
+        del os.environ["IPOC_KERNEL_SUBLANES"]

@@ -94,6 +94,7 @@ def test_time_sharded_lqt_solve(rng, devices):
     np.testing.assert_allclose(x_stage, x_ref[:-1], atol=1e-9)
 
 
+@pytest.mark.slow
 def test_batch_solve_matches_individual():
     ocp = pendulum.make_ocp(0.02)
     x0 = pendulum.initial_state(jnp.float64)
@@ -111,6 +112,7 @@ def test_batch_solve_matches_individual():
         assert int(sol.iterations[i]) == int(it_i)
 
 
+@pytest.mark.slow
 def test_sharded_batch_matches_vmap(devices):
     ocp = pendulum.make_ocp(0.02)
     x0 = pendulum.initial_state(jnp.float64)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import ipoc_tpu
 from ipoc_tpu.models import cartpole
@@ -38,6 +39,7 @@ def test_state_constrained_solve_respects_box():
     assert float(jnp.abs(X[:-1, 0]).max()) < limit
 
 
+@pytest.mark.slow
 def test_unconstrained_position_exceeds_box():
     """Sanity: without the state box the same problem crosses the limit,
     proving the constraint binds."""

@@ -34,7 +34,11 @@ def _flat_reference(ocp, u0, x0b):
     return np.asarray(sol.controls), np.asarray(sol.iterations)
 
 
-@pytest.mark.parametrize("lanes", [3, 7, 16])
+@pytest.mark.parametrize("lanes", [
+    pytest.param(3, marks=pytest.mark.slow),
+    pytest.param(7, marks=pytest.mark.slow),
+    16,
+])
 def test_stream_matches_flat(scenario_pool, lanes):
     """N=7 scenarios through 3 (refilling), 7 (exact), and 16 (clamped to N)
     lanes all reproduce the flat-mode per-scenario solutions."""
@@ -48,7 +52,11 @@ def test_stream_matches_flat(scenario_pool, lanes):
     np.testing.assert_array_equal(np.asarray(sol.iterations), it_ref)
 
 
-@pytest.mark.parametrize("every", [1, 5, 1000])
+@pytest.mark.parametrize("every", [
+    pytest.param(1, marks=pytest.mark.slow),
+    5,
+    pytest.param(1000, marks=pytest.mark.slow),
+])
 def test_stream_refill_every_same_results(scenario_pool, every):
     """The capture/refill cadence (every step, every 5, effectively once per
     drain) only reschedules lanes; per-scenario solutions are unchanged."""
@@ -63,6 +71,7 @@ def test_stream_refill_every_same_results(scenario_pool, every):
     np.testing.assert_array_equal(np.asarray(sol.iterations), it_ref)
 
 
+@pytest.mark.slow
 def test_stream_fewer_lockstep_steps(scenario_pool):
     """With fewer lanes than scenarios the stream still terminates and the
     lockstep step count is bounded by sum of per-scenario iterations (full
@@ -73,6 +82,7 @@ def test_stream_fewer_lockstep_steps(scenario_pool):
     assert int(sol.steps) <= int(it_ref.sum()) + len(it_ref) + 2
 
 
+@pytest.mark.slow
 def test_stream_bad_warm_start_lane():
     """A non-finite warm start is captured with iterations=0 and its input
     controls, without poisoning the other scenarios (flat-solver parity)."""
@@ -154,6 +164,7 @@ def test_stage_predictor_same_optimum_fewer_iters(scenario_pool):
         np.sum(np.asarray(off.iterations)))
 
 
+@pytest.mark.slow
 def test_stream_inner_unroll_same_results(scenario_pool):
     """inner_unroll only re-quantizes the inner loop; per-scenario results
     are bit-identical."""
