@@ -42,13 +42,16 @@ import subprocess
 import sys
 import time
 
-# The fused Newton-trial kernel is validated but its on-hardware compile
-# time is not yet characterized; default it off here so the benchmark always
-# runs the known-good configuration.  Set IPOC_FUSED_NEWTON=1 to measure it.
-os.environ.setdefault("IPOC_FUSED_NEWTON", "0")
+# Round-2 characterization of the single-launch parallel Newton-trial
+# kernel (ops/pallas/newton_kernel.py): it only affects newton_impl="par"
+# trials — bench modes all run newton_impl="fused" — and on its own path it
+# WINS latency (cartpole par solve, median of 10: H=100 49.9 vs 54.9 ms,
+# H=1000 74.7 vs 100.4 ms), so it stays at its default (on).
 
 MODEL = os.environ.get("IPOC_BENCH_MODEL", "cartpole")
-BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "2048"))
+# 4096 lanes + 32-sublane packing measured best on v5e (docs/PERFORMANCE.md:
+# mg headline 172.1k at B=4096 vs 168.0k at B=2048).
+BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "4096"))
 # Deep pools amortize the stream's drain tail: steps/scenario falls toward
 # mean_iterations/lanes as generations grow (docs/PERFORMANCE.md).
 POOL = int(os.environ.get("IPOC_BENCH_POOL", str(32 * BATCH)))
