@@ -471,9 +471,9 @@ class FlatLane(NamedTuple):
 
 def _lane_rollout(ocp: OCP, cfg: SolverConfig):
     """Open-loop rollout for the flat-mode lane paths: with the fused
-    evaluator it is the last per-iteration XLA scan, so it dispatches to
-    the one-launch Pallas rollout kernel under vmap."""
-    if cfg.newton_impl == "fused":
+    evaluators (Newton and DDP) it is the last per-iteration XLA scan, so
+    it dispatches to the one-launch Pallas rollout kernel under vmap."""
+    if cfg.newton_impl in ("fused", "ddp"):
         from ipoc_tpu.ops.pallas.fused_iter_kernel import make_fused_rollout
 
         return make_fused_rollout(ocp)
@@ -483,9 +483,9 @@ def _lane_rollout(ocp: OCP, cfg: SolverConfig):
 def _lane_transition(ocp: OCP, cfg: SolverConfig):
     """Two-candidate stage transition (plain warm start + central-path
     prediction), both rollouts and barrier costs in ONE Pallas launch on the
-    fused path — so the stage predictor costs no extra launch over the plain
-    per-iteration transition rollout."""
-    if cfg.newton_impl == "fused":
+    fused paths — so the stage predictor costs no extra launch over the
+    plain per-iteration transition rollout."""
+    if cfg.newton_impl in ("fused", "ddp"):
         from ipoc_tpu.ops.pallas.fused_iter_kernel import make_fused_transition
 
         return make_fused_transition(ocp)
