@@ -38,7 +38,10 @@ def _stage_data(model, T, nx, rp=1.0, bp=0.1):
     return ocp, d, lin_reg, XT
 
 
-@pytest.mark.parametrize("model,T,nx", [(cartpole, 40, 4), (pendulum, 60, 2)])
+@pytest.mark.parametrize("model,T,nx", [
+    pytest.param(cartpole, 40, 4, marks=pytest.mark.slow),
+    (pendulum, 60, 2),
+])
 def test_fused_matches_pipeline(model, T, nx):
     ocp, d, lin_reg, XT = _stage_data(model, T, nx)
     lqt = newton_lqt(lin_reg, d, XT)
@@ -56,6 +59,7 @@ def test_fused_matches_pipeline(model, T, nx):
     assert bool(ok) == bool(feas_ref)
 
 
+@pytest.mark.slow
 def test_fused_infeasible_flag():
     """Indefinite R (negative regularized control weight) must trip the
     feasibility flag, matching par_bwd_pass semantics."""
@@ -73,6 +77,7 @@ def test_fused_infeasible_flag():
     assert not bool(feas_ref)
 
 
+@pytest.mark.slow
 def test_fused_vmap_batch_rule():
     """vmapped fused step == per-lane results (custom_vmap dispatch)."""
     ocp, d, lin_reg, XT = _stage_data(cartpole, 30, 4)

@@ -78,6 +78,7 @@ def test_gate_defaults():
     assert not use_pallas_scans(jnp.float32, 4)
 
 
+@pytest.mark.slow
 def test_end_to_end_bwd_pass_with_pallas(rng):
     """Full par_bwd_pass/par_fwd_pass with kernels forced on (interpreter)."""
     lqt = make_random_lqt(rng, T=40, nx=3, nu=2, dtype=jnp.float32)

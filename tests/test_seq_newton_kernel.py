@@ -116,7 +116,10 @@ def test_seq_costate_kernel_matches_scan():
         np.testing.assert_allclose(lam[b], lam_ref, atol=1e-5 * scale)
 
 
-@pytest.mark.parametrize("nx,nu", [(3, 2), (4, 3)])
+@pytest.mark.parametrize("nx,nu", [
+    (3, 2),
+    pytest.param(4, 3, marks=pytest.mark.slow),
+])
 def test_trial_kernels_multi_input(nx, nu):
     """nu > 1 regression: the gain-solve RHS must be interleaved row-major
     (a plain [Qu; Qxu^T] concatenation only matches the row layout for
