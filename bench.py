@@ -63,7 +63,10 @@ COARSEN = int(os.environ.get("IPOC_BENCH_COARSEN", "4"))
 REFILL = int(os.environ.get("IPOC_BENCH_REFILL", "16"))
 QUALITY = os.environ.get("IPOC_BENCH_QUALITY", "1") != "0"
 PROBE_RETRIES = int(os.environ.get("IPOC_BENCH_PROBE_RETRIES", "4"))
-PROBE_TIMEOUT = float(os.environ.get("IPOC_BENCH_PROBE_TIMEOUT", "300"))
+# Cold backend init through the tunnel can exceed 300s right after another
+# process released the chip (observed: two 300s probe timeouts, then
+# success); 480s keeps one probe attempt long enough to ride that out.
+PROBE_TIMEOUT = float(os.environ.get("IPOC_BENCH_PROBE_TIMEOUT", "480"))
 # Set IPOC_BENCH_PLATFORM=cpu for a hardware-free smoke run of the whole
 # pipeline (tiny sizes recommended); skips the accelerator probe.
 PLATFORM = os.environ.get("IPOC_BENCH_PLATFORM", "")
