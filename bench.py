@@ -73,10 +73,14 @@ PLATFORM = os.environ.get("IPOC_BENCH_PLATFORM", "")
 DT = 1.0 / HORIZON  # reference sweep keeps H * dt = 1 s
 NORTH_STAR_PER_CHIP = 1e4 / 8.0
 
+NMPC_STEPS = int(os.environ.get("IPOC_BENCH_NMPC_STEPS", "25"))
+NMPC_CAP = int(os.environ.get("IPOC_BENCH_NMPC_CAP", "25"))
+
 METRIC = (f"{MODEL}_h{HORIZON}_"
           + (f"{IMPL}_" if IMPL else "")
-          + "ip_solves_per_sec")
-UNIT = "solves/s/chip"
+          + ("nmpc_resolves_per_sec" if MODE == "nmpc"
+             else "ip_solves_per_sec"))
+UNIT = "resolves/s/chip" if MODE == "nmpc" else "solves/s/chip"
 
 
 def emit_error(msg: str) -> None:
@@ -167,6 +171,52 @@ def run() -> dict:
             # the stage predictor is tuned/measured on the Newton path;
             # keep DDP at reference-style plain warm starts until measured
             cfg = cfg.replace(stage_predictor=False)
+
+    if MODE == "nmpc":
+        # Warm-started NMPC throughput on the headline config (VERDICT r2
+        # #4): B independent receding-horizon controllers in lockstep, the
+        # whole closed loop ONE XLA program; every step is a warm-started
+        # IP resolve from the previous plan (reference MPC-loop semantics:
+        # examples/linear_mpc_parallel.py:67-81, warm start by re-solve).
+        from ipoc_tpu.mpc import nmpc_loop
+
+        ncfg = cfg.replace(max_newton_iters=NMPC_CAP)
+
+        def solve(u_warm, x):
+            u, _ = ipoc_tpu.par_interior_point_optimal_control(
+                ocp, u_warm, x, ncfg
+            )
+            return u
+
+        loop = jax.jit(jax.vmap(
+            lambda x, u: nmpc_loop(solve, ocp.dynamics, x, u, NMPC_STEPS)
+        ))
+        u0b = jnp.zeros((BATCH, HORIZON, nu), jnp.float32)
+        x0c = x0b[:BATCH]
+        xs, us = loop(x0c, u0b)
+        _sync(xs[:, -1])
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            xs, us = loop(x0c, u0b)
+            _sync(xs[:, -1])
+            times.append(time.perf_counter() - t0)
+        med = statistics.median(times)
+        n_resolves = BATCH * NMPC_STEPS
+        return {
+            "metric": METRIC,
+            "value": round(n_resolves / med, 3),
+            "unit": UNIT,
+            "vs_baseline": round(n_resolves / med / NORTH_STAR_PER_CHIP, 4),
+            "nmpc": {
+                "controllers": BATCH,
+                "steps": NMPC_STEPS,
+                "iter_cap": NMPC_CAP,
+                "per_step_ms": round(med / NMPC_STEPS * 1e3, 3),
+                "replan_budget_ms": round(DT * 1e3, 3),
+                "max_abs_u": float(np.abs(np.asarray(us)).max()),
+            },
+        }
 
     mode = MODE
     if mode == "mg" and HORIZON % COARSEN != 0:

@@ -37,6 +37,20 @@ def main():
     p.add_argument("--platform", default=None, help="e.g. cpu to force CPU")
     p.add_argument("--outdir", default="bench_results")
     p.add_argument(
+        "--amortize", type=int, default=0, metavar="K",
+        help="also measure dispatch-amortized per-solve latency: K solves "
+        "chained data-dependently inside ONE jitted program (a negligible "
+        "but dynamic epsilon of solve i feeds solve i+1's warm start so "
+        "XLA cannot parallelize or hoist them), total time / K.  Removes "
+        "the per-dispatch tunnel overhead (~1-6 ms, and ~47 ms observed "
+        "floor) that dominates single-call timings on this platform "
+        "(docs/PERFORMANCE.md).",
+    )
+    p.add_argument(
+        "--amortize-reps", type=int, default=3,
+        help="timed repetitions of the K-chain (median reported)",
+    )
+    p.add_argument(
         "--save-controls", action="store_true",
         help="also write {model}_controls_{dtype}.npz with the converged "
         "controls per (solver, horizon) for cross-precision agreement "
@@ -104,6 +118,29 @@ def main():
                     "iterations": int(iters),
                     "max_abs_u": float(jnp.abs(u_opt).max()),
                 }
+                if args.amortize > 0:
+                    K = args.amortize
+
+                    def chain(u, x, s=solver):
+                        # A dynamic-but-negligible epsilon of each solve
+                        # feeds the next warm start: the K solves execute
+                        # strictly sequentially (a multiply-by-zero
+                        # dependence would be folded away, so use a
+                        # magnitude that underflows in the add instead).
+                        def body(dep, _):
+                            uo, _ = s(ocp, u + dep, x, cfg)
+                            return uo[0, 0] * jnp.asarray(1e-30, u.dtype), 0
+                        dep, _ = jax.lax.scan(
+                            body, jnp.zeros((), u.dtype), None, length=K
+                        )
+                        return dep
+
+                    fc = jax.jit(chain)
+                    _, med_chain, _ = time_fn(
+                        fc, u0, x0, reps=args.amortize_reps
+                    )
+                    rec["amortized_s"] = med_chain / K
+                    rec["amortize_k"] = K
                 print(json.dumps(rec))
                 jf.write(json.dumps(rec) + "\n")
                 rows[name].append((H, mean_s, median_s))

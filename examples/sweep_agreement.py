@@ -11,6 +11,15 @@ configuration, solves the same problem on CPU float64, then reports:
   with gradient tolerance 1e-4 and control curvature ~R = 1e-3, the flat
   valley admits ~1e-1 control slack — the reference's OWN seq-vs-ddp
   solutions differ by 2e-3..4.4e-3 (see tests/test_reference_parity.py).
+* ``max_abs_dx`` — state-trajectory deviation: both precisions' converged
+  controls rolled through the f64 dynamics.  GATED (--dx-atol): trajectory
+  agreement is the physically meaningful claim and is much sharper than
+  raw control agreement in the flat valley.
+* ``bound_active_du`` — control deviation restricted to stages where the
+  f64 solution rides the |u| <= bound box (within --active-frac of the
+  bound).  GATED (--bound-du-rtol, relative to the bound): where the
+  active set pins the solution there is no flat-valley slack, so f32 must
+  agree tightly.  VERDICT r2 #6.
 
 Usage (after the f32 sweep on the TPU):
 
@@ -39,6 +48,14 @@ def main():
                    default="pendulum")
     p.add_argument("--outdir", default="bench_results")
     p.add_argument("--cost-rtol", type=float, default=1e-5)
+    p.add_argument("--dx-atol", type=float, default=2e-2,
+                   help="gate on max state-trajectory deviation")
+    p.add_argument("--bound-du-rtol", type=float, default=1e-3,
+                   help="gate on bound-active control deviation, relative "
+                   "to the control bound")
+    p.add_argument("--active-frac", type=float, default=1e-3,
+                   help="a stage is bound-active when |u_f64| >= "
+                   "(1 - active_frac) * bound")
     p.add_argument("--f32-npz", default=None,
                    help="controls npz (default {outdir}/{model}_controls_float32.npz)")
     args = p.parse_args()
@@ -94,12 +111,36 @@ def main():
 
             c32, c64 = cost(u32), cost(u64)
             rel = abs(c32 - c64) / max(abs(c64), 1e-12)
+
+            # State-trajectory deviation: both controls through f64 dynamics.
+            x32 = rollout(ocp.dynamics, u32, x0)
+            x64 = rollout(ocp.dynamics, u64, x0)
+            max_abs_dx = float(jnp.max(jnp.abs(x32 - x64)))
+
+            # Bound-active control agreement: stages riding |u| = bound.
+            bound = getattr(model, "CONTROL_BOUND", None)
+            if bound is not None:
+                active = np.abs(np.asarray(u64)) >= (
+                    1.0 - args.active_frac) * bound
+                du = np.abs(np.asarray(u32 - u64))
+                bound_active_du = float(du[active].max()) if active.any() \
+                    else None
+                n_active = int(active.sum())
+            else:  # multi-input box models expose no single scalar bound
+                bound_active_du, n_active = None, 0
+
+            ok = rel <= args.cost_rtol and max_abs_dx <= args.dx_atol
+            if bound_active_du is not None:
+                ok = ok and bound_active_du <= args.bound_du_rtol * bound
             rec = {
                 "model": args.model, "solver": name, "horizon": H,
                 "rel_cost_delta": rel,
                 "max_abs_du": float(jnp.max(jnp.abs(u32 - u64))),
+                "max_abs_dx": max_abs_dx,
+                "bound_active_du": bound_active_du,
+                "bound_active_stages": n_active,
                 "cost_f32": c32, "cost_f64": c64,
-                "pass": rel <= args.cost_rtol,
+                "pass": bool(ok),
             }
             failures += not rec["pass"]
             print(json.dumps(rec))

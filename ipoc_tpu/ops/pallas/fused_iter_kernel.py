@@ -621,8 +621,14 @@ def _term_fn(ocp: OCP, nx: int):
     return term
 
 
-def _stage_fwd_fn(ocp: OCP, nx: int, nu: int):
-    """Per-element forward step: gains -> trial point -> cost/constraints."""
+def _stage_fwd_fn(ocp: OCP, nx: int, nu: int, with_cu: bool = False):
+    """Per-element forward step: gains -> trial point -> cost/constraints.
+
+    ``with_cu`` additionally emits ``sum(cu^2)`` at the TRIAL point — the
+    stage contribution to ``||cu||_F^2`` of the next iterate if this trial
+    is accepted, so the Levenberg scale (reference par:116-118) needs no
+    separate XLA gradient pass per iteration (packed-stream path).
+    """
 
     def stage(x, u, bp, dx, Kk):
         k = Kk[:nu]
@@ -638,6 +644,9 @@ def _stage_fwd_fn(ocp: OCP, nx: int, nu: int):
         )
         cst = ocp.stage_cost(tx, tu, bp)
         cmax = jnp.max(ocp.constraints(tx, tu))
+        if with_cu:
+            cu = jax.grad(ocp.stage_cost, 1)(tx, tu, bp)
+            return tu, tx, dxn, cst, cmax, jnp.sum(cu * cu)
         return tu, tx, dxn, cst, cmax
 
     return stage
@@ -758,14 +767,24 @@ def _fused_bwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
         hu_o[0, 0] = hu_s[0]
 
 
-def _fused_fwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
-    """Deviation rollout fused with trial cost/feasibility evaluation."""
+def _fused_fwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct,
+                      with_cu=False):
+    """Deviation rollout fused with trial cost/feasibility evaluation.
+
+    ``with_cu`` adds a ``sum(cu^2)``-at-the-trial-point accumulator (extra
+    output + scratch; see :func:`_stage_fwd_fn`)."""
     x_ref, u_ref, xT_ref, bp_ref, Kk_ref = refs[:5]
     cs_refs = refs[5:5 + n_cs]
     ct_refs = refs[5 + n_cs:5 + n_cs + n_ct]
-    (tu_o, tx_o, txT_o, nc_o, mc_o) = refs[5 + n_cs + n_ct:
-                                           10 + n_cs + n_ct]
-    (dx_s, cost_s, mc_s) = refs[10 + n_cs + n_ct:]
+    n_out = 6 if with_cu else 5
+    outs = refs[5 + n_cs + n_ct:5 + n_cs + n_ct + n_out]
+    scratch = refs[5 + n_cs + n_ct + n_out:]
+    if with_cu:
+        (tu_o, tx_o, txT_o, nc_o, mc_o, cun_o) = outs
+        (dx_s, cost_s, mc_s, cun_s) = scratch
+    else:
+        (tu_o, tx_o, txT_o, nc_o, mc_o) = outs
+        (dx_s, cost_s, mc_s) = scratch
     cs = [r[0] for r in cs_refs]
     ct = [r[0] for r in ct_refs]
     t = pl.program_id(1)
@@ -775,13 +794,20 @@ def _fused_fwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
         dx_s[:] = jnp.zeros_like(dx_s)
         cost_s[:] = jnp.zeros_like(cost_s)
         mc_s[:] = jnp.full_like(mc_s, -jnp.inf)
+        if with_cu:
+            cun_s[:] = jnp.zeros_like(cun_s)
 
     x = x_ref[0, 0]
     u = u_ref[0, 0]
     bp = bp_ref[0, 0]
     Kk = Kk_ref[0, 0]
 
-    tu, tx, dxn, cst, cmax = stage(x, u, bp, dx_s[:], Kk, *cs)
+    out = stage(x, u, bp, dx_s[:], Kk, *cs)
+    if with_cu:
+        tu, tx, dxn, cst, cmax, cusq = out
+        cun_s[:] = cun_s[:] + cusq[None]
+    else:
+        tu, tx, dxn, cst, cmax = out
     tu_o[0, 0] = tu
     tx_o[0, 0] = tx
     cost_s[:] = cost_s[:] + cst[None]
@@ -794,6 +820,8 @@ def _fused_fwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
         txT_o[0] = txT
         nc_o[0, 0] = cost_s[0] + cT
         mc_o[0, 0] = mc_s[0]
+        if with_cu:
+            cun_o[0, 0] = cun_s[0]
 
 
 def _fused_iter_merged_kernel(*refs, nx, nu, T, stage_b, term_b, stage_f,
@@ -987,45 +1015,38 @@ def _use_merged(T, nx, nu, S, dtype) -> bool:
     return _merged_fits(T, nx, nu, S, dtype)
 
 
-def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
-                              sublanes: int = SUBLANES,
-                              interpret: bool = False,
-                              merged: bool | None = None,
-                              ddp: bool = False):
-    """One fully-fused batched Newton iteration (one or two Pallas launches).
+def fused_newton_iter_packed(ocp: OCP, xs_p, xT_p, u_p, bp_p, reg_p,
+                             interpret: bool = False,
+                             merged: bool | None = None,
+                             ddp: bool = False,
+                             with_cu: bool = False):
+    """Packed-layout fused Newton iteration core.
 
-    Shapes: x (B,T+1,nx), u (B,T,nu), bp (B,), reg (B,) — reg is the
-    Levenberg parameter already scaled by max(||cu||_F, floor).
+    Same math as :func:`fused_newton_iter_batched`, but inputs AND outputs
+    stay in the kernels' native packed layout — stage arrays
+    ``(C, T, rows, S, LANES)``, per-lane scalars ``(C, 1, S, LANES)`` —
+    so a caller iterating many times (the packed stream,
+    solvers/packed_stream.py) pays no per-iteration pack/unpack relayout.
+    The unpacked (B, T, ...) lane layout forces XLA to pad the tiny minor
+    dims (nx=4 -> 8 sublanes x 128 lanes tiles) in every glue op and to
+    transpose at each kernel boundary — the measured cause of the
+    overhead-bound roofline (docs/PERFORMANCE.md).
 
-    By default the backward sweep and the forward trial run as ONE merged
-    launch (gains staged through VMEM scratch, :func:`_fused_iter_merged_kernel`)
-    whenever the gains ring fits VMEM (:func:`_merged_fits`); long horizons
-    fall back to the two-launch version with the gains staged through HBM.
-    ``merged`` forces the choice; ``IPOC_FUSED_MERGED=0`` disables merging
-    globally.
+    ``with_cu`` (two-launch path only) additionally returns the trial
+    point's ``sum(cu^2)`` so the next iteration's Levenberg scale needs no
+    separate gradient pass.
 
-    Returns ``(temp_x, temp_u, cost, new_cost_raw, max_constraint, pred,
-    bwd_ok, Hu_norm)`` with temp_x (B,T+1,nx), temp_u (B,T,nu) and the rest
-    (B,).  The trial is feasible iff ``max_constraint <= 0``;
-    ``new_cost_raw`` is only meaningful for feasible trials (the barrier
-    logs are NaN beyond the boundary, reference par:159-163 semantics are
-    restored by the caller's ``where``).
+    Returns ``(tu_p, tx_p, txT_p, cost_p, nc_p, mc_p, dv_p, piv_p, hu_p
+    [, cun_p])``; stage outputs hold stages 0..T-1 and the trial terminal
+    state is the separate ``txT_p (C, nx, S, LANES)``.  ``piv_p`` is the
+    minimum tracked pivot (bwd_ok == isfinite(piv) & piv > 0 &
+    isfinite(pred), applied by the caller).
     """
-    B, Tp1, nx = x.shape
-    T = Tp1 - 1
-    nu = u.shape[-1]
-    dtype = u.dtype
-    S = sublanes
-    chunk = S * LANES
-    Bp = _ceil_to(B, chunk)
-    C = Bp // chunk
+    C, T, nx, S, L = xs_p.shape
+    assert L == LANES
+    nu = u_p.shape[2]
+    dtype = u_p.dtype
     ng = (1 + nx) * nu
-
-    xs_p = _pack_s(x[:, :-1], Bp, S)
-    u_p = _pack_s(u, Bp, S)
-    xT_p = _pack_vec(x[:, -1], Bp, S)
-    bp_p = _pack_vec(bp[:, None], Bp, S)
-    reg_p = _pack_vec(reg[:, None], Bp, S)
 
     sds = lambda shape: jax.ShapeDtypeStruct(shape, dtype)  # noqa: E731
     stage_b, cs_b = _lift(
@@ -1033,9 +1054,12 @@ def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
         sds((nx,)),
     )
     term_b, ct_b = _lift(_term_fn(ocp, nx), sds((nx,)))
-    fwd_fn = _stage_ddp_fwd_fn if ddp else _stage_fwd_fn
+    if ddp:
+        fwd_fn = _stage_ddp_fwd_fn(ocp, nx, nu)
+    else:
+        fwd_fn = _stage_fwd_fn(ocp, nx, nu, with_cu=with_cu)
     stage_f, cs_f = _lift(
-        fwd_fn(ocp, nx, nu), sds((nx,)), sds((nu,)), sds(()),
+        fwd_fn, sds((nx,)), sds((nu,)), sds(()),
         sds((nx,)), sds((ng,)),
     )
     term_f, ct_f = _lift(
@@ -1055,6 +1079,10 @@ def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
         raise ValueError(
             "the fused DDP iteration is only implemented as the merged "
             "one-launch kernel (gains ring must fit VMEM; see _merged_fits)"
+        )
+    if with_cu and (merged or ddp):
+        raise NotImplementedError(
+            "with_cu is only implemented on the two-launch Newton path"
         )
     if merged:
         ker = functools.partial(
@@ -1110,22 +1138,7 @@ def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
               *_pack_consts(cs_b, S), *_pack_consts(ct_b, S),
               *_pack_consts(cs_f, S), *_pack_consts(ct_f, S))
 
-        temp_u = _unpack_s(tu_p, B, (nu,))
-        tx_stages = _unpack_s(tx_p, B, (nx,))
-        txT = _unpack_s(txT_p[:, None], B, (nx,))[:, 0]
-        temp_x = jnp.concatenate([tx_stages, txT[:, None]], axis=1)
-
-        def _scal_m(p):
-            return _unpack_s(p[:, None], B, (1,))[:, 0, 0]
-
-        cost = _scal_m(cost_p)
-        new_cost_raw = _scal_m(nc_p)
-        max_c = _scal_m(mc_p)
-        pred = _scal_m(dv_p)
-        piv = _scal_m(piv_p)
-        hu = _scal_m(hu_p)
-        ok = jnp.isfinite(piv) & (piv > 0) & jnp.isfinite(pred)
-        return temp_x, temp_u, cost, new_cost_raw, max_c, pred, ok, hu
+        return (tu_p, tx_p, txT_p, cost_p, nc_p, mc_p, dv_p, piv_p, hu_p)
 
     bwd = functools.partial(
         _fused_bwd_kernel, nx=nx, nu=nu, T=T,
@@ -1168,9 +1181,9 @@ def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
         fwd = functools.partial(
             _fused_fwd_kernel, nx=nx, nu=nu, T=T,
             stage=stage_f, term=term_f,
-            n_cs=len(cs_f), n_ct=len(ct_f),
+            n_cs=len(cs_f), n_ct=len(ct_f), with_cu=with_cu,
         )
-        tu_p, tx_p, txT_p, nc_p, mc_p = pl.pallas_call(
+        outs = pl.pallas_call(
             fwd,
             grid=(C, T),
             out_shape=(
@@ -1179,7 +1192,8 @@ def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
                 jax.ShapeDtypeStruct((C, nx, S, LANES), dtype),
                 jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
                 jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
-            ),
+            ) + ((jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),)
+                 if with_cu else ()),
             in_specs=[
                 fwd_spec(nx), fwd_spec(nu), bcast_spec(nx), scal_spec(),
                 fwd_spec(ng),
@@ -1188,15 +1202,63 @@ def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
             out_specs=(
                 fwd_spec(nu), fwd_spec(nx), bcast_spec(nx), scal_spec(),
                 scal_spec(),
-            ),
+            ) + ((scal_spec(),) if with_cu else ()),
             scratch_shapes=[
                 pltpu.VMEM((nx, S, LANES), dtype),
                 pltpu.VMEM((1, S, LANES), dtype),
                 pltpu.VMEM((1, S, LANES), dtype),
-            ],
+            ] + ([pltpu.VMEM((1, S, LANES), dtype)] if with_cu else []),
             interpret=interpret,
         )(xs_p, u_p, xT_p, bp_p, Kk,
           *_pack_consts(cs_f, S), *_pack_consts(ct_f, S))
+    if with_cu:
+        tu_p, tx_p, txT_p, nc_p, mc_p, cun_p = outs
+        return (tu_p, tx_p, txT_p, cost_p, nc_p, mc_p, dv_p, piv_p, hu_p,
+                cun_p)
+    tu_p, tx_p, txT_p, nc_p, mc_p = outs
+    return (tu_p, tx_p, txT_p, cost_p, nc_p, mc_p, dv_p, piv_p, hu_p)
+
+
+def fused_newton_iter_batched(ocp: OCP, x, u, bp, reg,
+                              sublanes: int = SUBLANES,
+                              interpret: bool = False,
+                              merged: bool | None = None,
+                              ddp: bool = False):
+    """One fully-fused batched Newton iteration (one or two Pallas launches).
+
+    Shapes: x (B,T+1,nx), u (B,T,nu), bp (B,), reg (B,) — reg is the
+    Levenberg parameter already scaled by max(||cu||_F, floor).
+
+    Thin unpacking wrapper over :func:`fused_newton_iter_packed` (packs the
+    lane-major inputs into the kernels' (C, T, rows, S, LANES) layout and
+    unpacks the results; the packed stream bypasses this round trip).
+
+    Returns ``(temp_x, temp_u, cost, new_cost_raw, max_constraint, pred,
+    bwd_ok, Hu_norm)`` with temp_x (B,T+1,nx), temp_u (B,T,nu) and the rest
+    (B,).  The trial is feasible iff ``max_constraint <= 0``;
+    ``new_cost_raw`` is only meaningful for feasible trials (the barrier
+    logs are NaN beyond the boundary, reference par:159-163 semantics are
+    restored by the caller's ``where``).
+    """
+    B, Tp1, nx = x.shape
+    T = Tp1 - 1
+    nu = u.shape[-1]
+    S = sublanes
+    chunk = S * LANES
+    Bp = _ceil_to(B, chunk)
+
+    xs_p = _pack_s(x[:, :-1], Bp, S)
+    u_p = _pack_s(u, Bp, S)
+    xT_p = _pack_vec(x[:, -1], Bp, S)
+    bp_p = _pack_vec(bp[:, None], Bp, S)
+    reg_p = _pack_vec(reg[:, None], Bp, S)
+
+    (tu_p, tx_p, txT_p, cost_p, nc_p, mc_p, dv_p, piv_p, hu_p) = (
+        fused_newton_iter_packed(
+            ocp, xs_p, xT_p, u_p, bp_p, reg_p,
+            interpret=interpret, merged=merged, ddp=ddp,
+        )
+    )
 
     temp_u = _unpack_s(tu_p, B, (nu,))
     tx_stages = _unpack_s(tx_p, B, (nx,))
@@ -1515,17 +1577,26 @@ def rollout_cost_batched(ocp: OCP, controls, x0, bp,
     return states, cost
 
 
-def _stage_transition_fn(ocp: OCP):
+def _stage_transition_fn(ocp: OCP, with_cu: bool = False):
     """Two candidate rollout steps + stage costs in one per-element body
-    (the stage-predictor transition: plain warm start vs extrapolated)."""
+    (the stage-predictor transition: plain warm start vs extrapolated).
+
+    ``with_cu`` adds each candidate's ``sum(cu^2)`` stage contribution (the
+    Levenberg scale of the candidate adopted at the stage transition —
+    packed-stream path)."""
 
     def stage(xa, xb, u, up, bp):
-        return (
+        out = (
             ocp.dynamics(xa, u),
             ocp.dynamics(xb, up),
             ocp.stage_cost(xa, u, bp),
             ocp.stage_cost(xb, up, bp),
         )
+        if with_cu:
+            cua = jax.grad(ocp.stage_cost, 1)(xa, u, bp)
+            cub = jax.grad(ocp.stage_cost, 1)(xb, up, bp)
+            out = out + (jnp.sum(cua * cua), jnp.sum(cub * cub))
+        return out
 
     return stage
 
@@ -1689,6 +1760,199 @@ def make_fused_rollout_cost(ocp: OCP):
         return out, (True, True)
 
     return roll_cost
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout rollout / transition kernels (packed-stream path)
+#
+# These differ from the unpacked variants above in two ways chosen for the
+# packed lane state (solvers/packed_stream.py):
+#   * stage outputs hold the PRE-step states x_0..x_{T-1} (exactly the lane
+#     layout), with the terminal state a separate (C, nx, S, LANES) output —
+#     no concat/shift relayout on adoption;
+#   * they accumulate sum(cu^2) so the next Levenberg scale is free.
+# ---------------------------------------------------------------------------
+
+
+def _rollout_cost_packed_kernel(u_ref, x0_ref, bp_ref, *refs,
+                                T, step, term, n_c, n_ct):
+    c_refs = refs[:n_c]
+    ct_refs = refs[n_c:n_c + n_ct]
+    xs_o, xT_o, cost_o, cun_o = refs[n_c + n_ct:n_c + n_ct + 4]
+    x_s, cost_s, cun_s = refs[n_c + n_ct + 4:]
+    cs = [r[0] for r in c_refs]
+    ct = [r[0] for r in ct_refs]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        x_s[:] = x0_ref[0]
+        cost_s[:] = jnp.zeros_like(cost_s)
+        cun_s[:] = jnp.zeros_like(cun_s)
+
+    x = x_s[:]
+    xs_o[0, 0] = x
+    xn, cst, cusq = step(x, u_ref[0, 0], bp_ref[0, 0], *cs)
+    cost_s[:] = cost_s[:] + cst[None]
+    cun_s[:] = cun_s[:] + cusq[None]
+    x_s[:] = xn
+
+    @pl.when(t == T - 1)
+    def _():
+        xT_o[0] = xn
+        cost_o[0, 0] = cost_s[0] + term(xn, *ct)
+        cun_o[0, 0] = cun_s[0]
+
+
+def _stage_roll_cost_cu_fn(ocp: OCP):
+    def stage(x, u, bp):
+        cu = jax.grad(ocp.stage_cost, 1)(x, u, bp)
+        return (ocp.dynamics(x, u), ocp.stage_cost(x, u, bp),
+                jnp.sum(cu * cu))
+
+    return stage
+
+
+def rollout_cost_packed(ocp: OCP, u_p, x0_p, bp_p, interpret: bool = False):
+    """Packed open-loop rollout + barrier cost + ||cu||^2, ONE launch.
+
+    Shapes: u_p (C,T,nu,S,LANES), x0_p (C,nx,S,LANES), bp_p (C,1,S,LANES)
+    -> (xs_p (C,T,nx,S,LANES) stages 0..T-1, xT_p (C,nx,S,LANES),
+    cost_p (C,1,S,LANES), cun_p (C,1,S,LANES))."""
+    C, T, nu, S, L = u_p.shape
+    nx = x0_p.shape[1]
+    dtype = u_p.dtype
+
+    sds = lambda shape: jax.ShapeDtypeStruct(shape, dtype)  # noqa: E731
+    step, consts = _lift(_stage_roll_cost_cu_fn(ocp), sds((nx,)),
+                         sds((nu,)), sds(()))
+    term, ct = _lift(ocp.final_cost, sds((nx,)))
+
+    kernel = functools.partial(
+        _rollout_cost_packed_kernel, T=T, step=step, term=term,
+        n_c=len(consts), n_ct=len(ct),
+    )
+    with jax.enable_x64(False):
+        xs_p, xT_p, cost_p, cun_p = pl.pallas_call(
+            kernel,
+            grid=(C, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, nx, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+            ),
+            in_specs=[_fwd_spec(nu, S), _bcast_spec(nx, S), _scal_spec(S)]
+            + [_const_spec(c.size, S) for c in list(consts) + list(ct)],
+            out_specs=(_fwd_spec(nx, S), _bcast_spec(nx, S), _scal_spec(S),
+                       _scal_spec(S)),
+            scratch_shapes=[
+                pltpu.VMEM((nx, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+            ],
+            interpret=interpret,
+        )(u_p, x0_p, bp_p, *_pack_consts(list(consts) + list(ct), S))
+    return xs_p, xT_p, cost_p, cun_p
+
+
+def _transition_packed_kernel(u_ref, up_ref, x0_ref, bp_ref, *refs,
+                              T, step, term, n_c, n_ct):
+    c_refs = refs[:n_c]
+    ct_refs = refs[n_c:n_c + n_ct]
+    (xa_o, xb_o, xaT_o, xbT_o, ca_o, cb_o, cua_o, cub_o) = refs[
+        n_c + n_ct:n_c + n_ct + 8]
+    (xa_s, xb_s, ca_s, cb_s, cua_s, cub_s) = refs[n_c + n_ct + 8:]
+    cs = [r[0] for r in c_refs]
+    ct = [r[0] for r in ct_refs]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        xa_s[:] = x0_ref[0]
+        xb_s[:] = x0_ref[0]
+        ca_s[:] = jnp.zeros_like(ca_s)
+        cb_s[:] = jnp.zeros_like(cb_s)
+        cua_s[:] = jnp.zeros_like(cua_s)
+        cub_s[:] = jnp.zeros_like(cub_s)
+
+    xa_o[0, 0] = xa_s[:]
+    xb_o[0, 0] = xb_s[:]
+    xan, xbn, csta, cstb, cua, cub = step(
+        xa_s[:], xb_s[:], u_ref[0, 0], up_ref[0, 0], bp_ref[0, 0], *cs
+    )
+    ca_s[:] = ca_s[:] + csta[None]
+    cb_s[:] = cb_s[:] + cstb[None]
+    cua_s[:] = cua_s[:] + cua[None]
+    cub_s[:] = cub_s[:] + cub[None]
+    xa_s[:] = xan
+    xb_s[:] = xbn
+
+    @pl.when(t == T - 1)
+    def _():
+        xaT_o[0] = xan
+        xbT_o[0] = xbn
+        ca_o[0, 0] = ca_s[0] + term(xan, *ct)
+        cb_o[0, 0] = cb_s[0] + term(xbn, *ct)
+        cua_o[0, 0] = cua_s[0]
+        cub_o[0, 0] = cub_s[0]
+
+
+def transition_packed(ocp: OCP, u_p, up_p, x0_p, bp_p,
+                      interpret: bool = False):
+    """Packed two-candidate stage transition, ONE launch.
+
+    Shapes: u_p/up_p (C,T,nu,S,LANES), x0_p (C,nx,S,LANES), bp_p
+    (C,1,S,LANES) -> (xa_p, xb_p (C,T,nx,S,LANES) stages 0..T-1,
+    xaT_p, xbT_p (C,nx,S,LANES), cost_a, cost_b, cun_a, cun_b
+    (C,1,S,LANES) with cun = sum(cu^2) along the candidate)."""
+    C, T, nu, S, L = u_p.shape
+    nx = x0_p.shape[1]
+    dtype = u_p.dtype
+
+    sds = lambda shape: jax.ShapeDtypeStruct(shape, dtype)  # noqa: E731
+    step, consts = _lift(_stage_transition_fn(ocp, with_cu=True),
+                         sds((nx,)), sds((nx,)), sds((nu,)), sds((nu,)),
+                         sds(()))
+    term, ct = _lift(ocp.final_cost, sds((nx,)))
+
+    kernel = functools.partial(
+        _transition_packed_kernel, T=T, step=step, term=term,
+        n_c=len(consts), n_ct=len(ct),
+    )
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(C, T),
+            out_shape=(
+                jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, nx, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, nx, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
+            ),
+            in_specs=[_fwd_spec(nu, S), _fwd_spec(nu, S), _bcast_spec(nx, S),
+                      _scal_spec(S)]
+            + [_const_spec(c.size, S) for c in list(consts) + list(ct)],
+            out_specs=(
+                _fwd_spec(nx, S), _fwd_spec(nx, S), _bcast_spec(nx, S),
+                _bcast_spec(nx, S), _scal_spec(S), _scal_spec(S),
+                _scal_spec(S), _scal_spec(S),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nx, S, LANES), dtype),
+                pltpu.VMEM((nx, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+                pltpu.VMEM((1, S, LANES), dtype),
+            ],
+            interpret=interpret,
+        )(u_p, up_p, x0_p, bp_p, *_pack_consts(list(consts) + list(ct), S))
+    return outs
 
 
 def make_fused_rollout(ocp: OCP):

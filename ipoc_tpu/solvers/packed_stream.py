@@ -1,0 +1,389 @@
+"""Packed-layout streaming executor: the stream's hot loop without relayouts.
+
+The baseline stream (solvers/stream.py) carries its lane state in the
+natural (B, T, nx)/(B, T, nu) layout.  On TPU that layout is hostile to the
+per-iteration XLA glue: the minor dims are tiny (nx=4, nu=1), so every
+elementwise op on the iterate pads them into (8, 128) tiles (up to 32-128x
+layout waste), and each fused-kernel call transposes the whole iterate into
+the kernels' packed (C, T, rows, S, LANES) layout and back — twice per
+Newton iteration.  The roofline classified the resulting step as
+overhead-bound at ~1/6 of either resource peak (docs/PERFORMANCE.md).
+
+This module keeps the lane state IN the kernels' packed layout across
+iterations:
+
+* stage arrays ``(C, T, rows, S, LANES)`` — every element a full vreg tile,
+  no padding, no transposes at kernel boundaries;
+* per-lane scalars ``(C, S, LANES)`` — accept/LM/convergence glue is dense
+  elementwise work;
+* the Levenberg scale ``||cu||_F`` is accumulated IN-KERNEL along the trial
+  forward sweep / transition rollouts (fused_iter_kernel.py ``with_cu``)
+  instead of a separate vmapped-gradient XLA pass per iteration;
+* pack/unpack happens only at capture/refill boundaries — once per
+  ``refill_every`` iterations.
+
+Per-lane semantics are those of ``flat_lane_iter`` (solvers/ip_newton.py):
+the same trial sequence, stage transitions, predictor and LM updates.  The
+one numerical difference is the f32 summation order of ``||cu||_F``
+(in-kernel stage-wise accumulation vs ``jnp.linalg.norm``), which can flip
+accept decisions within float rounding of the threshold; converged
+solutions agree to solver tolerance (tests/test_packed_stream.py).
+
+The reference has no batching at all (SURVEY §2; one solve per call) —
+this executor, like solvers/stream.py, is new TPU-native surface.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ipoc_tpu.config import SolverConfig
+from ipoc_tpu.problem import OCP
+from ipoc_tpu.solvers.barrier import n_barrier_stages
+from ipoc_tpu.solvers.globalization import gain_ratio, lm_update
+
+
+class PackedLane(NamedTuple):
+    """Flat-mode lane state in the kernels' packed layout.
+
+    ``C`` batch chunks x ``S`` sublanes x 128 lanes; stage arrays carry
+    stages 0..T-1 with the terminal state separate (matching the fused
+    kernels' output layout, so adoption is a plain select)."""
+
+    x0: jax.Array        # (C, nx, S, L) scenario initial states
+    xs: jax.Array        # (C, T, nx, S, L) trajectory stages 0..T-1
+    xT: jax.Array        # (C, nx, S, L) terminal state
+    u: jax.Array         # (C, T, nu, S, L) controls
+    u_prev: jax.Array    # (C, T, nu, S, L) previous stage's controls
+    cun: jax.Array       # (C, S, L) ||cu||_F at the current iterate
+    it: jax.Array        # (C, S, L) i32 total Newton iterations
+    stage_it: jax.Array  # (C, S, L) i32 iterations in the current stage
+    rp: jax.Array        # (C, S, L) LM regularization
+    r_inc: jax.Array     # (C, S, L) LM growth factor
+    bp: jax.Array        # (C, S, L) barrier parameter
+    bp0: jax.Array       # (C, S, L) lane's starting barrier parameter
+    done: jax.Array      # (C, S, L) bool — solve complete
+
+
+def _pack_scal(v, Bp, C, S, L):
+    """(B,) -> (C, S, L); padding lanes get zeros/False."""
+    B = v.shape[0]
+    return jnp.pad(v, (0, Bp - B)).reshape(C, S, L)
+
+
+def _unpack_scal(p, B):
+    """(C, S, L) -> (B,)."""
+    return p.reshape(-1)[:B]
+
+
+def _sel(mask, new, old):
+    """Packed per-lane select; mask (C, S, L), leaves (C, [T,] rows, S, L)."""
+
+    def one(n, o):
+        m = mask.reshape(
+            mask.shape[:1] + (1,) * (n.ndim - 3) + mask.shape[1:]
+        )
+        return jnp.where(m, n, o)
+
+    return jax.tree_util.tree_map(one, new, old)
+
+
+def packed_lane_init(ocp: OCP, u_p, x0_p, bp0, rp0, cfg: SolverConfig,
+                     interpret: bool = False) -> PackedLane:
+    """Open packed flat-mode lanes: one fused rollout+cost+||cu|| launch.
+
+    ``u_p (C,T,nu,S,L)``, ``x0_p (C,nx,S,L)``, ``bp0``/``rp0 (C,S,L)``.
+    Semantics match ``flat_lane_init`` (solvers/ip_newton.py): a lane whose
+    warm-start barrier cost is non-finite opens with ``done=True``.
+    """
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import rollout_cost_packed
+
+    C, T, nu, S, L = u_p.shape
+    dtype = u_p.dtype
+    xs, xT, cost, cunsq = rollout_cost_packed(
+        ocp, u_p, x0_p, bp0[:, None], interpret=interpret
+    )
+    start_ok = jnp.isfinite(cost[:, 0])
+    zi = jnp.zeros((C, S, L), jnp.int32)
+    return PackedLane(
+        x0=x0_p, xs=xs, xT=xT, u=u_p, u_prev=u_p,
+        cun=jnp.sqrt(cunsq[:, 0]).astype(dtype),
+        it=zi, stage_it=zi,
+        rp=rp0.astype(dtype),
+        r_inc=jnp.full((C, S, L), cfg.reg_inc_init, dtype),
+        bp=bp0.astype(dtype), bp0=bp0.astype(dtype),
+        done=jnp.logical_not(start_ok),
+    )
+
+
+def packed_lane_iter(ocp: OCP, lane: PackedLane, cfg: SolverConfig,
+                     adv, interpret: bool = False) -> PackedLane:
+    """One Newton iteration + stage-transition step on packed lanes.
+
+    Per-lane semantics identical to ``flat_lane_iter`` (see its docstring
+    for the staged-parity argument), with the Levenberg scale read from the
+    lane's kernel-accumulated ``cun`` instead of a per-iteration gradient
+    pass.  ``adv (C,S,L)`` masks lanes exactly as in the unpacked stream.
+    """
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import (
+        fused_newton_iter_packed,
+        rollout_cost_packed,
+        transition_packed,
+    )
+
+    dtype = lane.u.dtype
+    if cfg.scale_reg_by_grad:
+        reg = lane.rp * jnp.maximum(
+            lane.cun, jnp.asarray(cfg.reg_scale_floor, dtype)
+        )
+    else:
+        reg = lane.rp
+
+    (tu, tx, txT, cost_p, nc_p, mc_p, dv_p, piv_p, hu_p, cun_p) = (
+        fused_newton_iter_packed(
+            ocp, lane.xs, lane.xT, lane.u, lane.bp[:, None], reg[:, None],
+            with_cu=True, interpret=interpret, merged=False,
+        )
+    )
+    cost = cost_p[:, 0]
+    pred = dv_p[:, 0]
+    piv = piv_p[:, 0]
+    hu = hu_p[:, 0]
+    ok = jnp.isfinite(piv) & (piv > 0) & jnp.isfinite(pred)
+    new_cost = jnp.where(mc_p[:, 0] <= 0.0, nc_p[:, 0],
+                         jnp.asarray(jnp.inf, dtype))
+
+    rho = gain_ratio(new_cost, cost, pred)
+    accept = jnp.logical_and(rho > 0.0, ok)
+    stalled = jnp.logical_and(
+        jnp.logical_not(accept), lane.rp >= cfg.reg_max
+    ) & bool(cfg.stall_exit)
+    rp_new, ri_new = lm_update(lane.rp, lane.r_inc, rho, accept, cfg)
+    rp = jnp.where(adv, rp_new, lane.rp)
+    r_inc = jnp.where(adv, ri_new, lane.r_inc)
+    accept = jnp.logical_and(accept, adv)
+
+    a5 = accept[:, None, None]
+    a4 = accept[:, None]
+    xs = jnp.where(a5, tx, lane.xs)
+    xT = jnp.where(a4, txT, lane.xT)
+    u = jnp.where(a5, tu, lane.u)
+    cun = jnp.where(accept, jnp.sqrt(cun_p[:, 0]).astype(dtype), lane.cun)
+
+    tol_s = jnp.maximum(jnp.asarray(cfg.tol, dtype),
+                        cfg.stage_tol_scale * lane.bp)
+    conv = hu < tol_s
+    if cfg.pred_floor > 0.0:
+        conv = jnp.logical_or(
+            conv,
+            jnp.logical_and(
+                ok, jnp.abs(pred) < cfg.pred_floor * (1.0 + jnp.abs(cost))
+            ),
+        )
+    bad = jnp.logical_or(
+        jnp.logical_not(jnp.isfinite(hu)),
+        jnp.logical_not(jnp.isfinite(cost)),
+    )
+    bad = jnp.logical_and(bad, adv)
+    advance = jnp.logical_or(
+        jnp.logical_or(conv, stalled),
+        lane.stage_it + 1 > cfg.max_newton_iters,
+    )
+    advance = jnp.logical_and(advance, jnp.logical_not(bad))
+    advance = jnp.logical_and(advance, adv)
+    bp_next = lane.bp / cfg.bp_decay
+    done_now = jnp.logical_or(
+        bad, jnp.logical_and(advance, bp_next <= cfg.bp_min)
+    )
+    roll = jnp.logical_and(advance, jnp.logical_not(done_now))
+    r5 = roll[:, None, None]
+    r4 = roll[:, None]
+    u_prev = jnp.where(r5, u, lane.u_prev)
+    if cfg.stage_predictor:
+        gamma = jnp.asarray(1.0 / cfg.bp_decay, dtype)
+        u_pred = u + gamma * (u - lane.u_prev)
+        xa, xb, xaT, xbT, ca, cb, cua, cub = transition_packed(
+            ocp, u, u_pred, lane.x0, bp_next[:, None], interpret=interpret
+        )
+        on_path = lane.bp < lane.bp0
+        take = jnp.logical_and(
+            roll, jnp.logical_and(on_path, cb[:, 0] < ca[:, 0])
+        )
+        t5 = take[:, None, None]
+        t4 = take[:, None]
+        xs = jnp.where(t5, xb, jnp.where(r5, xa, xs))
+        xT = jnp.where(t4, xbT, jnp.where(r4, xaT, xT))
+        u = jnp.where(t5, u_pred, u)
+        cun = jnp.where(
+            take, jnp.sqrt(cub[:, 0]).astype(dtype),
+            jnp.where(roll, jnp.sqrt(cua[:, 0]).astype(dtype), cun),
+        )
+    else:
+        xr, xrT, _, cur = rollout_cost_packed(
+            ocp, u, lane.x0, bp_next[:, None], interpret=interpret
+        )
+        xs = jnp.where(r5, xr, xs)
+        xT = jnp.where(r4, xrT, xT)
+        cun = jnp.where(roll, jnp.sqrt(cur[:, 0]).astype(dtype), cun)
+    bp = jnp.where(advance, bp_next, lane.bp)
+    stage_reg = (cfg.reg_init if cfg.reg_stage_init is None
+                 else cfg.reg_stage_init)
+    rp = jnp.where(advance, jnp.asarray(stage_reg, dtype), rp)
+    r_inc = jnp.where(advance, jnp.asarray(cfg.reg_inc_init, dtype), r_inc)
+    tick = adv.astype(jnp.int32)
+    stage_it = jnp.where(advance, jnp.zeros_like(lane.stage_it),
+                         lane.stage_it + tick)
+    return PackedLane(
+        x0=lane.x0, xs=xs, xT=xT, u=u, u_prev=u_prev, cun=cun,
+        it=lane.it + tick, stage_it=stage_it,
+        rp=rp, r_inc=r_inc, bp=bp, bp0=lane.bp0,
+        done=jnp.logical_or(lane.done, done_now),
+    )
+
+
+def packed_stream_eligible(cfg: SolverConfig, dtype, nx: int,
+                           resident: int) -> bool:
+    """Gate for the packed stream path (kill switch IPOC_PACKED_STREAM=0).
+
+    Requires the fused Newton evaluator, the fused kernels' eligibility
+    (f32, small nx, TPU — or forced on for interpret-mode tests), and a
+    resident-lane count that fills at least 8 sublanes."""
+    import os
+
+    if os.environ.get("IPOC_PACKED_STREAM", "1") == "0":
+        return False
+    if cfg.newton_impl != "fused" or cfg.terminal_hessian != "exact":
+        return False
+    from ipoc_tpu.ops.pallas import use_pallas_scans
+    from ipoc_tpu.ops.pallas.seq_newton_kernel import _stream_sublanes
+
+    if not use_pallas_scans(dtype, nx):
+        return False
+    return _stream_sublanes(resident) >= 8
+
+
+def solve_stream_packed(
+    ocp: OCP,
+    controls,        # (N, T, nu) per-scenario warm starts
+    initial_states,  # (N, nx)
+    cfg: SolverConfig,
+    lanes: int = 2048,
+    refill_every: int = 16,
+    bp_init=None,
+    rp_init=None,
+    inner_unroll: int = 1,
+    interpret: bool = False,
+):
+    """Packed-layout drop-in for ``solve_stream`` (same scheduling, same
+    per-scenario results up to the documented ``||cu||`` summation-order
+    difference).  Returns a ``StreamSolution``."""
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import _pack_vec
+    from ipoc_tpu.ops.pallas.seq_newton_kernel import (
+        LANES,
+        _ceil_to,
+        _pack_s,
+        _stream_sublanes,
+        _unpack_s,
+    )
+    from ipoc_tpu.solvers.ip_newton import flat_total_cap
+    from ipoc_tpu.solvers.stream import StreamSolution
+
+    N, T, nu = controls.shape
+    nx = initial_states.shape[-1]
+    B = min(lanes, N)
+    dtype = controls.dtype
+    S = _stream_sublanes(B)
+    if S < 8:
+        raise ValueError("packed stream needs >= 8 sublanes of lanes")
+    chunk = S * LANES
+    Bp = _ceil_to(B, chunk)
+    C = Bp // chunk
+
+    if bp_init is None:
+        bp_init = jnp.full((N,), cfg.bp_init, dtype)
+    if rp_init is None:
+        rp_init = jnp.full((N,), cfg.reg_init, dtype)
+
+    def init_lanes(u, x0s, bp0, rp0):
+        u_p = _pack_s(u, Bp, S)
+        x0_p = _pack_vec(x0s, Bp, S)
+        bp0_p = _pack_scal(bp0, Bp, C, S, LANES)
+        rp0_p = _pack_scal(rp0, Bp, C, S, LANES)
+        return packed_lane_init(ocp, u_p, x0_p, bp0_p, rp0_p, cfg,
+                                interpret=interpret)
+
+    lanes0 = init_lanes(controls[:B], initial_states[:B], bp_init[:B],
+                        rp_init[:B])
+    sid0 = jnp.arange(B, dtype=jnp.int32)
+    out_u0 = jnp.zeros((N + 1, T, nu), dtype)
+    out_it0 = jnp.zeros((N + 1,), jnp.int32)
+    gens = (N + B - 1) // B
+    K = max(1, refill_every)
+    unroll = max(1, min(inner_unroll, K))
+    max_outer = flat_total_cap(cfg) * (gens + 1) + N + gens + 1
+    active0 = _pack_scal(jnp.ones((B,), bool), Bp, C, S, LANES)
+
+    def outer_body(carry):
+        lane, sid, active, pool_next, out_u, out_it, t, r = carry
+
+        def inner_cond(c):
+            ln, s = c
+            return jnp.logical_and(
+                s + unroll <= K,
+                jnp.any(jnp.logical_and(active, jnp.logical_not(ln.done))),
+            )
+
+        def inner_body(c):
+            ln, s = c
+            for _ in range(unroll):
+                adv = jnp.logical_and(active, jnp.logical_not(ln.done))
+                ln = packed_lane_iter(ocp, ln, cfg, adv,
+                                      interpret=interpret)
+            return ln, s + unroll
+
+        lane, dt = lax.while_loop(
+            inner_cond, inner_body, (lane, jnp.asarray(0, jnp.int32))
+        )
+
+        fin_p = jnp.logical_and(lane.done, active)
+        fin = _unpack_scal(fin_p, B)
+
+        # 1. Capture finished scenarios (dummy row N absorbs the rest).
+        u_unp = _unpack_s(lane.u, B, (nu,))
+        it_unp = _unpack_scal(lane.it, B)
+        wsid = jnp.where(fin, sid, N)
+        out_u = out_u.at[wsid].set(u_unp)
+        out_it = out_it.at[wsid].set(it_unp)
+
+        # 2. Refill from the pool (stream.py semantics).
+        rank = jnp.cumsum(fin, dtype=jnp.int32) - 1
+        new_sid = pool_next + rank
+        take = jnp.logical_and(fin, new_sid < N)
+        src = jnp.where(take, new_sid, 0)
+        fresh = init_lanes(controls[src], initial_states[src],
+                           bp_init[src], rp_init[src])
+        take_p = _pack_scal(take, Bp, C, S, LANES)
+        lane = _sel(take_p, fresh, lane)
+        sid = jnp.where(take, new_sid, sid)
+        active = jnp.logical_and(
+            active, jnp.logical_or(jnp.logical_not(fin_p), take_p)
+        )
+        pool_next = pool_next + jnp.sum(take, dtype=jnp.int32)
+        return lane, sid, active, pool_next, out_u, out_it, t + dt, r + 1
+
+    def outer_cond(carry):
+        _, _, active, _, _, _, _, r = carry
+        return jnp.logical_and(jnp.any(active), r < max_outer)
+
+    carry = (
+        lanes0, sid0, active0, jnp.asarray(B, jnp.int32),
+        out_u0, out_it0, jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    _, _, _, _, out_u, out_it, steps, _ = lax.while_loop(
+        outer_cond, outer_body, carry)
+    return StreamSolution(out_u[:N], out_it[:N], steps)

@@ -95,6 +95,24 @@ def solve_stream(
     B = min(lanes, N)
     dtype = controls.dtype
 
+    # Packed-layout fast path (solvers/packed_stream.py): same scheduling
+    # and per-lane semantics, but the lane state stays in the kernels'
+    # (C, T, rows, S, LANES) layout across iterations — no per-iteration
+    # pack/unpack relayout, no padded-tile glue, in-kernel ||cu|| —
+    # measured cure for the overhead-bound step (docs/PERFORMANCE.md).
+    # Kill switch: IPOC_PACKED_STREAM=0.
+    from ipoc_tpu.solvers.packed_stream import (
+        packed_stream_eligible,
+        solve_stream_packed,
+    )
+
+    if packed_stream_eligible(cfg, dtype, initial_states.shape[-1], B):
+        return solve_stream_packed(
+            ocp, controls, initial_states, cfg, lanes=lanes,
+            refill_every=refill_every, bp_init=bp_init, rp_init=rp_init,
+            inner_unroll=inner_unroll,
+        )
+
     if bp_init is None:
         bp_init = jnp.full((N,), cfg.bp_init, dtype)
     if rp_init is None:

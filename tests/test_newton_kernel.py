@@ -59,6 +59,41 @@ def test_fused_matches_pipeline(model, T, nx):
     assert bool(ok) == bool(feas_ref)
 
 
+def test_fused_infeasible_flag_fast():
+    """Fast-tier twin of test_fused_infeasible_flag (ADVICE r2): tiny T so
+    the interpret-mode run stays cheap while the feasibility-flag path keeps
+    default-run coverage."""
+    ocp, d, lin_reg, XT = _stage_data(pendulum, 8, 2)
+    R_bad = lin_reg.R.at[3].set(-jnp.eye(1, dtype=jnp.float32))
+    lin_bad = lin_reg._replace(R=R_bad)
+    _, _, _, ok = fused_newton_step(
+        lin_bad.r, lin_bad.Q, lin_bad.R, lin_bad.M, d.fx, d.fu, XT,
+        interpret=True,
+    )
+    assert not bool(ok)
+
+
+def test_fused_vmap_batch_rule_fast():
+    """Fast-tier twin of test_fused_vmap_batch_rule (ADVICE r2): covers the
+    custom_vmap dispatch with a tiny horizon."""
+    ocp, d, lin_reg, XT = _stage_data(pendulum, 8, 2)
+    B = 2
+    tile = lambda a: jnp.broadcast_to(a, (B,) + a.shape) * jnp.linspace(
+        0.9, 1.1, B
+    ).astype(jnp.float32).reshape((B,) + (1,) * a.ndim)
+    ru, Q, R, M = map(tile, (lin_reg.r, lin_reg.Q, lin_reg.R, lin_reg.M))
+    fx, fu, XTb = map(tile, (d.fx, d.fu, XT))
+    with pltpu.force_tpu_interpret_mode():
+        du_b, dx_b, pred_b, ok_b = jax.vmap(
+            lambda *a: fused_newton_step(*a)
+        )(ru, Q, R, M, fx, fu, XTb)
+        du_0, _, pred_0, _ = fused_newton_step(
+            ru[0], Q[0], R[0], M[0], fx[0], fu[0], XTb[0]
+        )
+    np.testing.assert_allclose(du_b[0], du_0, atol=1e-5)
+    np.testing.assert_allclose(float(pred_b[0]), float(pred_0), rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_fused_infeasible_flag():
     """Indefinite R (negative regularized control weight) must trip the
