@@ -238,6 +238,21 @@ def ip_newton_time_sharded(
     if T % n_shards != 0:
         raise ValueError(f"horizon {T} not divisible by {n_shards} shards")
 
+    run = _make_sharded_run(ocp, cfg, axis_name)
+    sharded = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P()),
+        out_specs=(P(axis_name, None), P()),
+        check_vma=False,
+    )
+    return sharded(controls, initial_state)
+
+
+def _make_sharded_run(ocp: OCP, cfg: SolverConfig, axis_name: str):
+    """Per-scenario barrier-loop body of the time-sharded solve (shared by
+    the single-scenario and batched entry points)."""
+
     def run(u_local, x0):
         dtype = u_local.dtype
         bp0 = jnp.asarray(cfg.bp_init, dtype)
@@ -256,11 +271,222 @@ def ip_newton_time_sharded(
         )
         return u, total
 
+    return run
+
+
+def _trial_eval_sharded(ocp: OCP, cfg: SolverConfig, axis_name):
+    """One time-sharded Newton trial evaluation for ONE scenario (pure, no
+    control flow — safe to ``vmap`` over a local lane axis: every lane and
+    every device executes the identical, fixed sequence of time-axis
+    collectives).  Returns the accept/convergence quantities of
+    ip_newton._trial_eval in sharded form."""
+
+    def eval_one(xs, xT, u, x0, bp, rp):
+        dtype = u.dtype
+        nu = u.shape[-1]
+        cost = _total_cost_sharded(ocp, xs, u, xT, bp, axis_name)
+        d = first_order_stages(ocp, xs, u, bp)
+        lam_next = _next_costates_sharded(ocp, d, xT, axis_name)
+        lin = hamiltonian_lqr_stages(ocp, xs, u, lam_next, bp)
+        if cfg.scale_reg_by_grad:
+            nrm = jnp.sqrt(lax.psum(jnp.sum(d.cu * d.cu), axis_name))
+            reg = rp * jnp.maximum(
+                nrm, jnp.asarray(cfg.reg_scale_floor, dtype)
+            )
+        else:
+            reg = rp
+        eye_u = jnp.eye(nu, dtype=dtype)
+        lin_reg = LinearizedOCP(lin.r, lin.Q, lin.R + reg * eye_u, lin.M)
+        if cfg.terminal_hessian == "reference":
+            XT = lax.all_gather(lin.Q[0], axis_name)[0]
+        else:
+            XT = hessian(ocp.final_cost)(xT)
+        lqt = newton_lqt(lin_reg, d, XT)
+        Kx, kff, _, _, pred, bwd_feasible = par_bwd_pass_time_sharded(
+            lqt, axis_name
+        )
+        du, dxs, dxT = par_fwd_pass_time_sharded(
+            lqt, jnp.zeros_like(x0), Kx, kff, axis_name, with_terminal=True
+        )
+        temp_u = u + du
+        temp_xs = xs + dxs
+        temp_xT = xT + dxT
+        Hu_norm = lax.pmax(jnp.max(jnp.abs(lin.r)), axis_name)
+        new_cost = jnp.where(
+            _feasible_sharded(ocp, temp_xs, temp_u, axis_name),
+            _total_cost_sharded(ocp, temp_xs, temp_u, temp_xT, bp,
+                                axis_name),
+            jnp.inf,
+        )
+        return (cost, temp_xs, temp_xT, temp_u, pred, bwd_feasible,
+                Hu_norm, new_cost)
+
+    return eval_one
+
+
+def ip_newton_batch_time_sharded(
+    ocp: OCP,
+    controls,        # (N, T, nu) — N divisible by the batch axis, T by time
+    initial_states,  # (N, nx)
+    mesh,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+    batch_axis: str = "batch",
+    axis_name: str = TIME_AXIS,
+):
+    """Full IP solve on a ('batch', 'time') mesh: scenarios data-parallel
+    over ``batch_axis``, each scenario's horizon sharded over ``axis_name``
+    (ICI) — SURVEY §5.7 + §5.8 composed in ONE shard_map.
+
+    Control flow must be IDENTICAL on every device of the mesh (divergent
+    while-loop trip counts across batch shards deadlock the time-axis
+    collectives' rendezvous), so the solve runs in FLAT mode with masked
+    per-lane advancement (SURVEY §7 L5 "batched convergence masking"):
+    one while loop whose continue flag is the psum over the whole mesh of
+    "any lane still live".  Per-lane semantics are exactly the flat-mode
+    single-trial solve (``barrier_mode="flat"`` unsharded — same trial
+    sequence, same stage transitions; pinned by
+    tests/test_time_sharded_solve.py).
+
+    Requires ``cfg.stage_predictor == False`` (reference semantics).
+    Returns ``(controls (N, T, nu), iterations (N,))``.
+    """
+    if cfg.globalization != "single" or cfg.newton_impl != "par":
+        raise ValueError(
+            "ip_newton_batch_time_sharded requires globalization='single' "
+            "and newton_impl='par' (see ip_newton_time_sharded)"
+        )
+    if cfg.stage_predictor:
+        raise ValueError(
+            "ip_newton_batch_time_sharded implements the reference "
+            "stage-transition warm start only; set stage_predictor=False"
+        )
+    nb = mesh.shape[batch_axis]
+    nt = mesh.shape[axis_name]
+    N, T = controls.shape[0], controls.shape[1]
+    if N % nb != 0:
+        raise ValueError(f"batch {N} not divisible by {nb} shards")
+    if T % nt != 0:
+        raise ValueError(f"horizon {T} not divisible by {nt} shards")
+
+    from ipoc_tpu.solvers.ip_newton import flat_total_cap
+
+    eval_one = _trial_eval_sharded(ocp, cfg, axis_name)
+    total_cap = flat_total_cap(cfg)
+
+    def run_batch(u_loc, x0_loc):
+        dtype = u_loc.dtype
+        Nl = u_loc.shape[0]
+
+        roll = jax.vmap(
+            lambda u, x0: sharded_rollout(ocp.dynamics, u, x0, axis_name)
+        )
+        cost_of = jax.vmap(
+            lambda xs, u, xT, bp: _total_cost_sharded(
+                ocp, xs, u, xT, bp, axis_name)
+        )
+        xs0, xT0 = roll(u_loc, x0_loc)
+        bp0 = jnp.full((Nl,), cfg.bp_init, dtype)
+        start_ok = jnp.isfinite(cost_of(xs0, u_loc, xT0, bp0))
+
+        def body(carry):
+            (xs, xT, u, it, stage_it, rp, r_inc, bp, done, _) = carry
+            adv = jnp.logical_not(done)
+            (cost, txs, txT, tu, pred, bwd_ok, hu, new_cost) = jax.vmap(
+                eval_one
+            )(xs, xT, u, x0_loc, bp, rp)
+            rho = gain_ratio(new_cost, cost, pred)
+            accept = jnp.logical_and(rho > 0.0, bwd_ok)
+            stalled = jnp.logical_and(
+                jnp.logical_not(accept), rp >= cfg.reg_max
+            ) & bool(cfg.stall_exit)
+            rp_new, ri_new = lm_update(rp, r_inc, rho, accept, cfg)
+            rp = jnp.where(adv, rp_new, rp)
+            r_inc = jnp.where(adv, ri_new, r_inc)
+            accept = jnp.logical_and(accept, adv)
+            a3 = accept[:, None, None]
+            xs = jnp.where(a3, txs, xs)
+            xT = jnp.where(accept[:, None], txT, xT)
+            u = jnp.where(a3, tu, u)
+
+            tol_s = jnp.maximum(jnp.asarray(cfg.tol, dtype),
+                                cfg.stage_tol_scale * bp)
+            conv = hu < tol_s
+            if cfg.pred_floor > 0.0:
+                conv = jnp.logical_or(
+                    conv,
+                    jnp.logical_and(
+                        bwd_ok,
+                        jnp.abs(pred) < cfg.pred_floor * (1.0 + jnp.abs(cost)),
+                    ),
+                )
+            bad = jnp.logical_or(
+                jnp.logical_not(jnp.isfinite(hu)),
+                jnp.logical_not(jnp.isfinite(cost)),
+            )
+            bad = jnp.logical_and(bad, adv)
+            advance = jnp.logical_or(
+                jnp.logical_or(conv, stalled),
+                stage_it + 1 > cfg.max_newton_iters,
+            )
+            advance = jnp.logical_and(advance, jnp.logical_not(bad))
+            advance = jnp.logical_and(advance, adv)
+            bp_next = bp / cfg.bp_decay
+            done_now = jnp.logical_or(
+                bad, jnp.logical_and(advance, bp_next <= cfg.bp_min)
+            )
+            roll_mask = jnp.logical_and(advance, jnp.logical_not(done_now))
+            # Stage-opening rollout (reference par:133), masked per lane —
+            # executed unconditionally so every device issues the same
+            # collectives every iteration.
+            rxs, rxT = roll(u, x0_loc)
+            xs = jnp.where(roll_mask[:, None, None], rxs, xs)
+            xT = jnp.where(roll_mask[:, None], rxT, xT)
+            bp = jnp.where(advance, bp_next, bp)
+            stage_reg = (cfg.reg_init if cfg.reg_stage_init is None
+                         else cfg.reg_stage_init)
+            rp = jnp.where(advance, jnp.asarray(stage_reg, dtype), rp)
+            r_inc = jnp.where(advance,
+                              jnp.asarray(cfg.reg_inc_init, dtype), r_inc)
+            tick = adv.astype(jnp.int32)
+            it = it + tick
+            stage_it = jnp.where(advance, jnp.zeros_like(stage_it),
+                                 stage_it + tick)
+            done = jnp.logical_or(done, done_now)
+            done = jnp.logical_or(done, it >= total_cap)
+            # Globally-synchronized continue flag: every device must take
+            # the same branch or the time-axis collectives deadlock.
+            local_any = jnp.any(jnp.logical_not(done))
+            cont = jnp.any(
+                lax.all_gather(
+                    lax.all_gather(local_any, axis_name), batch_axis
+                )
+            )
+            return (xs, xT, u, it, stage_it, rp, r_inc, bp, done, cont)
+
+        def cond(carry):
+            return carry[-1]
+
+        zi = jnp.zeros((Nl,), jnp.int32)
+        carry = (
+            xs0, xT0, u_loc, zi, zi,
+            jnp.full((Nl,), cfg.reg_init, dtype),
+            jnp.full((Nl,), cfg.reg_inc_init, dtype),
+            bp0,
+            jnp.logical_not(start_ok),
+            jnp.any(
+                lax.all_gather(
+                    lax.all_gather(jnp.any(start_ok), axis_name), batch_axis
+                )
+            ),
+        )
+        out = lax.while_loop(cond, body, carry)
+        return out[2], out[3]
+
     sharded = shard_map(
-        run,
+        run_batch,
         mesh=mesh,
-        in_specs=(P(axis_name, None), P()),
-        out_specs=(P(axis_name, None), P()),
+        in_specs=(P(batch_axis, axis_name, None), P(batch_axis, None)),
+        out_specs=(P(batch_axis, axis_name, None), P(batch_axis)),
         check_vma=False,
     )
-    return sharded(controls, initial_state)
+    return sharded(controls, initial_states)

@@ -24,6 +24,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: repeat test runs skip XLA recompiles (the
+# dominant cost of many of these CPU tests).  First run is unaffected.
+_cache = os.environ.get("IPOC_TEST_CACHE", "/tmp/ipoc_jax_test_cache")
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

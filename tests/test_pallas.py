@@ -29,8 +29,15 @@ def _restore_gate():
     set_pallas_scans("auto")
 
 
-@pytest.mark.parametrize("T", [5, 100, 128])
-@pytest.mark.parametrize("n", [2, 4])
+@pytest.mark.parametrize("T", [
+    5,
+    pytest.param(100, marks=pytest.mark.slow),
+    128,
+])
+@pytest.mark.parametrize("n", [
+    pytest.param(2, marks=pytest.mark.slow),
+    4,
+])
 def test_affine_suffix_scan(rng, T, n):
     F = jnp.array(rng.normal(size=(T, n, n)) * 0.5, dtype=jnp.float32)
     c = jnp.array(rng.normal(size=(T, n)), dtype=jnp.float32)
@@ -53,8 +60,9 @@ def test_affine_prefix_scan(rng, T):
     np.testing.assert_allclose(got[1], exp[1], atol=2e-4)
 
 
+@pytest.mark.slow
 def test_value_scan_matches_lax(rng):
-    lqt = make_random_lqt(rng, T=60, nx=4, nu=2, dtype=jnp.float32)
+    lqt = make_random_lqt(rng, T=16, nx=4, nu=2, dtype=jnp.float32)
     elems = _elements(lqt)
     exp = lax.associative_scan(
         lambda a, b: value_combine(b, a), elems, reverse=True, axis=0

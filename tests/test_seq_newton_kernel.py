@@ -35,7 +35,8 @@ def _stage_data(model, T, rp=1.0, bp=0.1, dtype=jnp.float32):
 
 
 @pytest.mark.parametrize("model,T,nx", [
-    (cartpole, 40, 4),
+    (cartpole, 14, 4),
+    pytest.param(cartpole, 40, 4, marks=pytest.mark.slow),
     pytest.param(pendulum, 60, 2, marks=pytest.mark.slow),
 ])
 def test_seq_trial_scan_matches_par_pipeline(model, T, nx):
@@ -55,7 +56,8 @@ def test_seq_trial_scan_matches_par_pipeline(model, T, nx):
 
 @pytest.mark.parametrize("model,T,nx", [
     pytest.param(cartpole, 40, 4, marks=pytest.mark.slow),
-    (pendulum, 60, 2),
+    (pendulum, 20, 2),
+    pytest.param(pendulum, 60, 2, marks=pytest.mark.slow),
 ])
 def test_seq_kernel_matches_scan(model, T, nx):
     """The Pallas kernel (interpret) == the scan fallback, batched (f32)."""
@@ -116,11 +118,12 @@ def test_seq_costate_kernel_matches_scan():
         np.testing.assert_allclose(lam[b], lam_ref, atol=1e-5 * scale)
 
 
-@pytest.mark.parametrize("nx,nu", [
-    (3, 2),
-    pytest.param(4, 3, marks=pytest.mark.slow),
+@pytest.mark.parametrize("nx,nu,full", [
+    (3, 2, False),  # fast tier: batched kernel only (nu>1 RHS layout pin)
+    pytest.param(3, 2, True, marks=pytest.mark.slow),
+    pytest.param(4, 3, True, marks=pytest.mark.slow),
 ])
-def test_trial_kernels_multi_input(nx, nu):
+def test_trial_kernels_multi_input(nx, nu, full):
     """nu > 1 regression: the gain-solve RHS must be interleaved row-major
     (a plain [Qu; Qxu^T] concatenation only matches the row layout for
     nu == 1 — latent until the first multi-input model)."""
@@ -161,11 +164,12 @@ def test_trial_kernels_multi_input(nx, nu):
     dx_r = jnp.stack([o[1] for o in refs])
     pred_r = jnp.stack([o[2] for o in refs])
 
+    kernels = [seq_newton_trial_batched]
+    if full:
+        kernels.append(
+            lambda *a, **kw: seq_newton_trial_streamed(*a, sublanes=1, **kw))
     with jax.enable_x64(False):
-        for fn in (
-            seq_newton_trial_batched,
-            lambda *a, **kw: seq_newton_trial_streamed(*a, sublanes=1, **kw),
-        ):
+        for fn in kernels:
             du_k, dx_k, pred_k, ok_k = fn(ru, Q, R, M, fx, fu, XT,
                                           interpret=True)
             np.testing.assert_allclose(du_k, du_r, atol=1e-5)
@@ -176,7 +180,7 @@ def test_trial_kernels_multi_input(nx, nu):
         # the parallel-in-time fused trial shares the gain-solve layout
         from ipoc_tpu.ops.pallas.newton_kernel import fused_newton_step
 
-        for i in range(B):
+        for i in range(B if full else 1):
             du_k, dx_k, pred_k, ok_k = fused_newton_step(
                 ru[i], Q[i], R[i], M[i], fx[i], fu[i], XT[i],
                 interpret=True)
@@ -213,7 +217,8 @@ def _lane_batch(a, B, key, scale=1e-3):
 
 
 @pytest.mark.parametrize("model,T,nx,S", [
-    (cartpole, 17, 4, 2),
+    pytest.param(cartpole, 9, 4, 2, marks=pytest.mark.slow),
+    pytest.param(cartpole, 17, 4, 2, marks=pytest.mark.slow),
     pytest.param(pendulum, 23, 2, 2, marks=pytest.mark.slow),
 ])
 def test_streamed_kernel_matches_batched(model, T, nx, S):

@@ -214,10 +214,10 @@ def test_flat_barrier_batched(pendulum_problem):
     cfg = ipoc_tpu.DEFAULT_CONFIG.replace(
         globalization="single", max_newton_iters=150
     )
-    u0, x0b = make_batch(jax.random.PRNGKey(3), x0, 4, 50, 1,
+    u0, x0b = make_batch(jax.random.PRNGKey(3), x0, 2, 30, 1,
                          state_scale=0.05, dtype=jnp.float64)
     sol_flat = solve_batch(ocp, u0, x0b, cfg.replace(barrier_mode="flat"))
-    for i in range(4):
+    for i in range(2):
         u_i, it_i = ipoc_tpu.par_interior_point_optimal_control(
             ocp, u0[i], x0b[i], cfg
         )

@@ -11,8 +11,10 @@ from ipoc_tpu.models import pendulum
 from ipoc_tpu.solvers.batched import make_batch, solve_batch
 from ipoc_tpu.solvers.stream import solve_stream
 
+# 3-stage barrier schedule + T=30: the scheduling-equivalence pins are
+# schedule-independent, and the fast tier stays fast (VERDICT r2 #8).
 CFG = ipoc_tpu.FAST_CONFIG.replace(
-    globalization="single", barrier_mode="flat"
+    globalization="single", barrier_mode="flat", bp_min=4.1e-3
 )
 
 
@@ -21,7 +23,7 @@ def scenario_pool():
     ocp = pendulum.make_ocp(0.02)
     x0 = pendulum.initial_state(jnp.float64)
     u0, x0b = make_batch(
-        jax.random.PRNGKey(3), x0, 7, 50, 1,
+        jax.random.PRNGKey(3), x0, 7, 30, 1,
         state_scale=0.05, control_scale=0.1, dtype=jnp.float64,
     )
     return ocp, u0, x0b
@@ -89,7 +91,7 @@ def test_stream_bad_warm_start_lane():
     ocp = pendulum.make_ocp(0.02)
     x0 = pendulum.initial_state(jnp.float64)
     u0, x0b = make_batch(
-        jax.random.PRNGKey(5), x0, 4, 50, 1,
+        jax.random.PRNGKey(5), x0, 4, 30, 1,
         state_scale=0.05, control_scale=0.1, dtype=jnp.float64,
     )
     u_bad = u0.at[2].set(jnp.nan)
@@ -143,7 +145,10 @@ def test_stage_predictor_same_optimum_fewer_iters(scenario_pool):
     from ipoc_tpu.utils.integrators import rollout
 
     ocp, u0, x0b = scenario_pool
-    base = CFG.replace(newton_impl="fused", pred_floor=1e-9)
+    # Full 5-stage schedule: the predictor only fires from the SECOND
+    # transition on, so the fixture's trimmed 3-stage schedule leaves it
+    # almost no headroom to show an iteration win.
+    base = CFG.replace(newton_impl="fused", pred_floor=1e-9, bp_min=1e-4)
     off = jax.jit(lambda u, x: solve_stream(ocp, u, x, base, lanes=4))(
         u0, x0b)
     on = jax.jit(lambda u, x: solve_stream(
