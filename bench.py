@@ -168,9 +168,11 @@ def run() -> dict:
         # machinery (VERDICT r1 #5); seq/par select the Newton evaluator.
         cfg = cfg.replace(newton_impl=IMPL)
         if IMPL == "ddp":
-            # the stage predictor is tuned/measured on the Newton path;
-            # keep DDP at reference-style plain warm starts until measured
-            cfg = cfg.replace(stage_predictor=False)
+            # Stage predictor on the DDP path (VERDICT r2 #5): measured r3
+            # on hardware — see docs/PERFORMANCE.md "DDP" notes.
+            # IPOC_BENCH_DDP_PREDICTOR=1/0 overrides for re-measurement.
+            pred = os.environ.get("IPOC_BENCH_DDP_PREDICTOR", "0")
+            cfg = cfg.replace(stage_predictor=pred == "1")
 
     if MODE == "nmpc":
         # Warm-started NMPC throughput on the headline config (VERDICT r2

@@ -507,18 +507,37 @@ def _pack_consts(consts, S):
 
 
 
-def _fwd_spec(rows, S):
-    """(1, 1, rows, S, LANES) block walking the time axis forward."""
-    return pl.BlockSpec((1, 1, rows, S, LANES),
+def _fwd_spec(rows, S, tb=1):
+    """(1, tb, rows, S, LANES) block walking the time axis forward
+    (``tb`` stages per grid step — time-blocking)."""
+    return pl.BlockSpec((1, tb, rows, S, LANES),
                         lambda b, t: (b, t, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _rev_spec(rows, S, T):
-    """(1, 1, rows, S, LANES) block walking the time axis newest-to-oldest."""
-    return pl.BlockSpec((1, 1, rows, S, LANES),
-                        lambda b, t: (b, T - 1 - t, 0, 0, 0),
+def _rev_spec(rows, S, Tb, tb=1):
+    """(1, tb, rows, S, LANES) block walking the ``Tb`` time blocks
+    newest-to-oldest."""
+    return pl.BlockSpec((1, tb, rows, S, LANES),
+                        lambda b, t: (b, Tb - 1 - t, 0, 0, 0),
                         memory_space=pltpu.VMEM)
+
+
+def pick_time_block(T: int) -> int:
+    """Largest time-block size in {8,5,4,2,1} dividing T (env override
+    IPOC_TIME_BLOCK).  Measured on v5e: per-grid-step fixed cost dominates
+    the vreg-packed stage math, so fatter grid steps win until the body's
+    unrolled ops thrash (docs/PERFORMANCE.md round-3 section)."""
+    import os
+
+    forced = os.environ.get("IPOC_TIME_BLOCK", "")
+    if forced:
+        tb = int(forced)
+        return tb if tb >= 1 and T % tb == 0 else 1
+    for tb in (8, 5, 4, 2):
+        if T % tb == 0:
+            return tb
+    return 1
 
 
 def _bcast_spec(rows, S):
@@ -691,8 +710,13 @@ def _term_ddp_fwd_fn(ocp: OCP):
 # ---------------------------------------------------------------------------
 
 
-def _fused_bwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
-    """Costates + stage data + Riccati in one reversed-time sweep."""
+def _fused_bwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct, tb=1):
+    """Costates + stage data + Riccati in one reversed-time sweep.
+
+    ``tb`` stages are processed per grid step (time-blocking): the fixed
+    per-grid-step cost (index maps, window bookkeeping, DMA waits) is the
+    dominant per-iteration overhead once the math is vreg-packed, so fewer,
+    fatter steps win (same lever as the S=16/32 sublane packings)."""
     x_ref, u_ref, xT_ref, bp_ref, reg_ref = refs[:5]
     cs_refs = refs[5:5 + n_cs]
     ct_refs = refs[5 + n_cs:5 + n_cs + n_ct]
@@ -702,6 +726,7 @@ def _fused_bwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
     cs = [r[0] for r in cs_refs]
     ct = [r[0] for r in ct_refs]
     t = pl.program_id(1)
+    Tb = T // tb
 
     @pl.when(t == 0)
     def _():
@@ -714,52 +739,56 @@ def _fused_bwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
         cost_s[:] = cT[None]
         hu_s[:] = jnp.zeros_like(hu_s)
 
-    x = x_ref[0, 0]
-    u = u_ref[0, 0]
     bp = bp_ref[0, 0]
     reg = reg_ref[0, 0]
 
-    ru, Q, R, M, fx, fu, lam_new, cst = stage(x, u, bp, lam_s[:], *cs)
-    # Levenberg: R += reg * I (reg pre-scaled by ||cu|| outside; reference
-    # par:116-118).
-    R = jnp.stack(
-        [R[r] + reg if r % (nu + 1) == 0 else R[r] for r in range(nu * nu)],
-        axis=0,
-    )
+    for j in reversed(range(tb)):
+        x = x_ref[0, j]
+        u = u_ref[0, j]
 
-    Vxx = Vxx_s[:]
-    Vx = Vx_s[:]
-    fxT = _transpose(fx, nx, nx)
-    fuT = _transpose(fu, nx, nu)
-    Vfx = _mm(Vxx, fx, nx, nx, nx)
-    Vfu = _mm(Vxx, fu, nx, nx, nu)
-    Qxx = _add_mm_sym(Q, fxT, Vfx, nx, nx)
-    Quu = _add_mm_sym(R, fuT, Vfu, nu, nx)
-    Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
-    Qu = ru + _mv(fuT, Vx, nu, nx)
-    Qx = _mv(fxT, Vx, nx, nx)
+        ru, Q, R, M, fx, fu, lam_new, cst = stage(x, u, bp, lam_s[:], *cs)
+        # Levenberg: R += reg * I (reg pre-scaled by ||cu|| outside;
+        # reference par:116-118).
+        R = jnp.stack(
+            [R[r] + reg if r % (nu + 1) == 0 else R[r]
+             for r in range(nu * nu)],
+            axis=0,
+        )
 
-    rhs = _gain_rhs(Qu, _transpose(Qxu, nx, nu), nx, nu)
-    sol, piv = _solve_track(Quu, rhs, nu, 1 + nx)
-    k = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)], axis=0)
-    K = -jnp.stack(
-        [sol[i_ * (1 + nx) + 1 + j] for i_ in range(nu) for j in range(nx)],
-        axis=0,
-    )
-    piv = jnp.minimum(piv, _pivots_only(R, nu))
+        Vxx = Vxx_s[:]
+        Vx = Vx_s[:]
+        fxT = _transpose(fx, nx, nx)
+        fuT = _transpose(fu, nx, nu)
+        Vfx = _mm(Vxx, fx, nx, nx, nx)
+        Vfu = _mm(Vxx, fu, nx, nx, nu)
+        Qxx = _add_mm_sym(Q, fxT, Vfx, nx, nx)
+        Quu = _add_mm_sym(R, fuT, Vfu, nu, nx)
+        Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
+        Qu = ru + _mv(fuT, Vx, nu, nx)
+        Qx = _mv(fxT, Vx, nx, nx)
 
-    Kk_o[0, 0] = jnp.concatenate([k, K], axis=0)
-    Vx_s[:] = Qx + _mv(Qxu, k, nx, nu)
-    Vxx_s[:] = _add_mm_sym(Qxx, Qxu, K, nx, nu)
-    dv_s[:] = dv_s[:] + (
-        _dot(k, Qu, nu) + 0.5 * _dot(k, _mv(Quu, k, nu, nu), nu)
-    )[None]
-    piv_s[:] = jnp.minimum(piv_s[:], piv[None])
-    cost_s[:] = cost_s[:] + cst[None]
-    hu_s[:] = jnp.maximum(hu_s[:], jnp.max(jnp.abs(ru), axis=0)[None])
-    lam_s[:] = lam_new
+        rhs = _gain_rhs(Qu, _transpose(Qxu, nx, nu), nx, nu)
+        sol, piv = _solve_track(Quu, rhs, nu, 1 + nx)
+        k = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)], axis=0)
+        K = -jnp.stack(
+            [sol[i_ * (1 + nx) + 1 + j2]
+             for i_ in range(nu) for j2 in range(nx)],
+            axis=0,
+        )
+        piv = jnp.minimum(piv, _pivots_only(R, nu))
 
-    @pl.when(t == T - 1)
+        Kk_o[0, j] = jnp.concatenate([k, K], axis=0)
+        Vx_s[:] = Qx + _mv(Qxu, k, nx, nu)
+        Vxx_s[:] = _add_mm_sym(Qxx, Qxu, K, nx, nu)
+        dv_s[:] = dv_s[:] + (
+            _dot(k, Qu, nu) + 0.5 * _dot(k, _mv(Quu, k, nu, nu), nu)
+        )[None]
+        piv_s[:] = jnp.minimum(piv_s[:], piv[None])
+        cost_s[:] = cost_s[:] + cst[None]
+        hu_s[:] = jnp.maximum(hu_s[:], jnp.max(jnp.abs(ru), axis=0)[None])
+        lam_s[:] = lam_new
+
+    @pl.when(t == Tb - 1)
     def _():
         cost_o[0, 0] = cost_s[0]
         dv_o[0, 0] = dv_s[0]
@@ -768,11 +797,12 @@ def _fused_bwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct):
 
 
 def _fused_fwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct,
-                      with_cu=False):
+                      with_cu=False, tb=1):
     """Deviation rollout fused with trial cost/feasibility evaluation.
 
     ``with_cu`` adds a ``sum(cu^2)``-at-the-trial-point accumulator (extra
-    output + scratch; see :func:`_stage_fwd_fn`)."""
+    output + scratch; see :func:`_stage_fwd_fn`).  ``tb`` stages per grid
+    step (see :func:`_fused_bwd_kernel`)."""
     x_ref, u_ref, xT_ref, bp_ref, Kk_ref = refs[:5]
     cs_refs = refs[5:5 + n_cs]
     ct_refs = refs[5 + n_cs:5 + n_cs + n_ct]
@@ -788,6 +818,7 @@ def _fused_fwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct,
     cs = [r[0] for r in cs_refs]
     ct = [r[0] for r in ct_refs]
     t = pl.program_id(1)
+    Tb = T // tb
 
     @pl.when(t == 0)
     def _():
@@ -797,24 +828,25 @@ def _fused_fwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct,
         if with_cu:
             cun_s[:] = jnp.zeros_like(cun_s)
 
-    x = x_ref[0, 0]
-    u = u_ref[0, 0]
     bp = bp_ref[0, 0]
-    Kk = Kk_ref[0, 0]
+    for j in range(tb):
+        x = x_ref[0, j]
+        u = u_ref[0, j]
+        Kk = Kk_ref[0, j]
 
-    out = stage(x, u, bp, dx_s[:], Kk, *cs)
-    if with_cu:
-        tu, tx, dxn, cst, cmax, cusq = out
-        cun_s[:] = cun_s[:] + cusq[None]
-    else:
-        tu, tx, dxn, cst, cmax = out
-    tu_o[0, 0] = tu
-    tx_o[0, 0] = tx
-    cost_s[:] = cost_s[:] + cst[None]
-    mc_s[:] = jnp.maximum(mc_s[:], cmax[None])
-    dx_s[:] = dxn
+        out = stage(x, u, bp, dx_s[:], Kk, *cs)
+        if with_cu:
+            tu, tx, dxn, cst, cmax, cusq = out
+            cun_s[:] = cun_s[:] + cusq[None]
+        else:
+            tu, tx, dxn, cst, cmax = out
+        tu_o[0, j] = tu
+        tx_o[0, j] = tx
+        cost_s[:] = cost_s[:] + cst[None]
+        mc_s[:] = jnp.maximum(mc_s[:], cmax[None])
+        dx_s[:] = dxn
 
-    @pl.when(t == T - 1)
+    @pl.when(t == Tb - 1)
     def _():
         txT, cT = term(xT_ref[0], dx_s[:], *ct)
         txT_o[0] = txT
@@ -1019,7 +1051,8 @@ def fused_newton_iter_packed(ocp: OCP, xs_p, xT_p, u_p, bp_p, reg_p,
                              interpret: bool = False,
                              merged: bool | None = None,
                              ddp: bool = False,
-                             with_cu: bool = False):
+                             with_cu: bool = False,
+                             time_block: int | None = None):
     """Packed-layout fused Newton iteration core.
 
     Same math as :func:`fused_newton_iter_batched`, but inputs AND outputs
@@ -1067,9 +1100,13 @@ def fused_newton_iter_packed(ocp: OCP, xs_p, xT_p, u_p, bp_p, reg_p,
         sds((nx,)), sds((nx,)),
     )
 
+    tb = pick_time_block(T) if time_block is None else time_block
+    if T % tb != 0:
+        raise ValueError(f"time_block {tb} must divide T={T}")
+    Tb = T // tb
     const_spec = lambda rows: _const_spec(rows, S)      # noqa: E731
-    rev_spec = lambda rows: _rev_spec(rows, S, T)       # noqa: E731
-    fwd_spec = lambda rows: _fwd_spec(rows, S)          # noqa: E731
+    rev_spec = lambda rows: _rev_spec(rows, S, Tb, tb)  # noqa: E731
+    fwd_spec = lambda rows: _fwd_spec(rows, S, tb)      # noqa: E731
     bcast_spec = lambda rows: _bcast_spec(rows, S)      # noqa: E731
     scal_spec = lambda: _scal_spec(S)                   # noqa: E731
 
@@ -1143,12 +1180,12 @@ def fused_newton_iter_packed(ocp: OCP, xs_p, xT_p, u_p, bp_p, reg_p,
     bwd = functools.partial(
         _fused_bwd_kernel, nx=nx, nu=nu, T=T,
         stage=stage_b, term=term_b,
-        n_cs=len(cs_b), n_ct=len(ct_b),
+        n_cs=len(cs_b), n_ct=len(ct_b), tb=tb,
     )
     with jax.enable_x64(False):
         Kk, cost_p, dv_p, piv_p, hu_p = pl.pallas_call(
             bwd,
-            grid=(C, T),
+            grid=(C, Tb),
             out_shape=(
                 jax.ShapeDtypeStruct((C, T, ng, S, LANES), dtype),
                 jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
@@ -1181,11 +1218,11 @@ def fused_newton_iter_packed(ocp: OCP, xs_p, xT_p, u_p, bp_p, reg_p,
         fwd = functools.partial(
             _fused_fwd_kernel, nx=nx, nu=nu, T=T,
             stage=stage_f, term=term_f,
-            n_cs=len(cs_f), n_ct=len(ct_f), with_cu=with_cu,
+            n_cs=len(cs_f), n_ct=len(ct_f), with_cu=with_cu, tb=tb,
         )
         outs = pl.pallas_call(
             fwd,
-            grid=(C, T),
+            grid=(C, Tb),
             out_shape=(
                 jax.ShapeDtypeStruct((C, T, nu, S, LANES), dtype),
                 jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
@@ -1775,7 +1812,7 @@ def make_fused_rollout_cost(ocp: OCP):
 
 
 def _rollout_cost_packed_kernel(u_ref, x0_ref, bp_ref, *refs,
-                                T, step, term, n_c, n_ct):
+                                T, step, term, n_c, n_ct, tb=1):
     c_refs = refs[:n_c]
     ct_refs = refs[n_c:n_c + n_ct]
     xs_o, xT_o, cost_o, cun_o = refs[n_c + n_ct:n_c + n_ct + 4]
@@ -1783,6 +1820,7 @@ def _rollout_cost_packed_kernel(u_ref, x0_ref, bp_ref, *refs,
     cs = [r[0] for r in c_refs]
     ct = [r[0] for r in ct_refs]
     t = pl.program_id(1)
+    Tb = T // tb
 
     @pl.when(t == 0)
     def _():
@@ -1790,14 +1828,16 @@ def _rollout_cost_packed_kernel(u_ref, x0_ref, bp_ref, *refs,
         cost_s[:] = jnp.zeros_like(cost_s)
         cun_s[:] = jnp.zeros_like(cun_s)
 
-    x = x_s[:]
-    xs_o[0, 0] = x
-    xn, cst, cusq = step(x, u_ref[0, 0], bp_ref[0, 0], *cs)
-    cost_s[:] = cost_s[:] + cst[None]
-    cun_s[:] = cun_s[:] + cusq[None]
-    x_s[:] = xn
+    bp = bp_ref[0, 0]
+    for j in range(tb):
+        x = x_s[:]
+        xs_o[0, j] = x
+        xn, cst, cusq = step(x, u_ref[0, j], bp, *cs)
+        cost_s[:] = cost_s[:] + cst[None]
+        cun_s[:] = cun_s[:] + cusq[None]
+        x_s[:] = xn
 
-    @pl.when(t == T - 1)
+    @pl.when(t == Tb - 1)
     def _():
         xT_o[0] = xn
         cost_o[0, 0] = cost_s[0] + term(xn, *ct)
@@ -1813,7 +1853,8 @@ def _stage_roll_cost_cu_fn(ocp: OCP):
     return stage
 
 
-def rollout_cost_packed(ocp: OCP, u_p, x0_p, bp_p, interpret: bool = False):
+def rollout_cost_packed(ocp: OCP, u_p, x0_p, bp_p, interpret: bool = False,
+                        time_block: int | None = None):
     """Packed open-loop rollout + barrier cost + ||cu||^2, ONE launch.
 
     Shapes: u_p (C,T,nu,S,LANES), x0_p (C,nx,S,LANES), bp_p (C,1,S,LANES)
@@ -1828,24 +1869,27 @@ def rollout_cost_packed(ocp: OCP, u_p, x0_p, bp_p, interpret: bool = False):
                          sds((nu,)), sds(()))
     term, ct = _lift(ocp.final_cost, sds((nx,)))
 
+    tb = pick_time_block(T) if time_block is None else time_block
+    Tb = T // tb
     kernel = functools.partial(
         _rollout_cost_packed_kernel, T=T, step=step, term=term,
-        n_c=len(consts), n_ct=len(ct),
+        n_c=len(consts), n_ct=len(ct), tb=tb,
     )
     with jax.enable_x64(False):
         xs_p, xT_p, cost_p, cun_p = pl.pallas_call(
             kernel,
-            grid=(C, T),
+            grid=(C, Tb),
             out_shape=(
                 jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
                 jax.ShapeDtypeStruct((C, nx, S, LANES), dtype),
                 jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
                 jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
             ),
-            in_specs=[_fwd_spec(nu, S), _bcast_spec(nx, S), _scal_spec(S)]
+            in_specs=[_fwd_spec(nu, S, tb), _bcast_spec(nx, S),
+                      _scal_spec(S)]
             + [_const_spec(c.size, S) for c in list(consts) + list(ct)],
-            out_specs=(_fwd_spec(nx, S), _bcast_spec(nx, S), _scal_spec(S),
-                       _scal_spec(S)),
+            out_specs=(_fwd_spec(nx, S, tb), _bcast_spec(nx, S),
+                       _scal_spec(S), _scal_spec(S)),
             scratch_shapes=[
                 pltpu.VMEM((nx, S, LANES), dtype),
                 pltpu.VMEM((1, S, LANES), dtype),
@@ -1857,7 +1901,7 @@ def rollout_cost_packed(ocp: OCP, u_p, x0_p, bp_p, interpret: bool = False):
 
 
 def _transition_packed_kernel(u_ref, up_ref, x0_ref, bp_ref, *refs,
-                              T, step, term, n_c, n_ct):
+                              T, step, term, n_c, n_ct, tb=1):
     c_refs = refs[:n_c]
     ct_refs = refs[n_c:n_c + n_ct]
     (xa_o, xb_o, xaT_o, xbT_o, ca_o, cb_o, cua_o, cub_o) = refs[
@@ -1866,6 +1910,7 @@ def _transition_packed_kernel(u_ref, up_ref, x0_ref, bp_ref, *refs,
     cs = [r[0] for r in c_refs]
     ct = [r[0] for r in ct_refs]
     t = pl.program_id(1)
+    Tb = T // tb
 
     @pl.when(t == 0)
     def _():
@@ -1876,19 +1921,21 @@ def _transition_packed_kernel(u_ref, up_ref, x0_ref, bp_ref, *refs,
         cua_s[:] = jnp.zeros_like(cua_s)
         cub_s[:] = jnp.zeros_like(cub_s)
 
-    xa_o[0, 0] = xa_s[:]
-    xb_o[0, 0] = xb_s[:]
-    xan, xbn, csta, cstb, cua, cub = step(
-        xa_s[:], xb_s[:], u_ref[0, 0], up_ref[0, 0], bp_ref[0, 0], *cs
-    )
-    ca_s[:] = ca_s[:] + csta[None]
-    cb_s[:] = cb_s[:] + cstb[None]
-    cua_s[:] = cua_s[:] + cua[None]
-    cub_s[:] = cub_s[:] + cub[None]
-    xa_s[:] = xan
-    xb_s[:] = xbn
+    bp = bp_ref[0, 0]
+    for j in range(tb):
+        xa_o[0, j] = xa_s[:]
+        xb_o[0, j] = xb_s[:]
+        xan, xbn, csta, cstb, cua, cub = step(
+            xa_s[:], xb_s[:], u_ref[0, j], up_ref[0, j], bp, *cs
+        )
+        ca_s[:] = ca_s[:] + csta[None]
+        cb_s[:] = cb_s[:] + cstb[None]
+        cua_s[:] = cua_s[:] + cua[None]
+        cub_s[:] = cub_s[:] + cub[None]
+        xa_s[:] = xan
+        xb_s[:] = xbn
 
-    @pl.when(t == T - 1)
+    @pl.when(t == Tb - 1)
     def _():
         xaT_o[0] = xan
         xbT_o[0] = xbn
@@ -1899,7 +1946,8 @@ def _transition_packed_kernel(u_ref, up_ref, x0_ref, bp_ref, *refs,
 
 
 def transition_packed(ocp: OCP, u_p, up_p, x0_p, bp_p,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      time_block: int | None = None):
     """Packed two-candidate stage transition, ONE launch.
 
     Shapes: u_p/up_p (C,T,nu,S,LANES), x0_p (C,nx,S,LANES), bp_p
@@ -1916,14 +1964,16 @@ def transition_packed(ocp: OCP, u_p, up_p, x0_p, bp_p,
                          sds(()))
     term, ct = _lift(ocp.final_cost, sds((nx,)))
 
+    tb = pick_time_block(T) if time_block is None else time_block
+    Tb = T // tb
     kernel = functools.partial(
         _transition_packed_kernel, T=T, step=step, term=term,
-        n_c=len(consts), n_ct=len(ct),
+        n_c=len(consts), n_ct=len(ct), tb=tb,
     )
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
-            grid=(C, T),
+            grid=(C, Tb),
             out_shape=(
                 jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
                 jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
@@ -1934,13 +1984,13 @@ def transition_packed(ocp: OCP, u_p, up_p, x0_p, bp_p,
                 jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
                 jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
             ),
-            in_specs=[_fwd_spec(nu, S), _fwd_spec(nu, S), _bcast_spec(nx, S),
-                      _scal_spec(S)]
+            in_specs=[_fwd_spec(nu, S, tb), _fwd_spec(nu, S, tb),
+                      _bcast_spec(nx, S), _scal_spec(S)]
             + [_const_spec(c.size, S) for c in list(consts) + list(ct)],
             out_specs=(
-                _fwd_spec(nx, S), _fwd_spec(nx, S), _bcast_spec(nx, S),
-                _bcast_spec(nx, S), _scal_spec(S), _scal_spec(S),
-                _scal_spec(S), _scal_spec(S),
+                _fwd_spec(nx, S, tb), _fwd_spec(nx, S, tb),
+                _bcast_spec(nx, S), _bcast_spec(nx, S), _scal_spec(S),
+                _scal_spec(S), _scal_spec(S), _scal_spec(S),
             ),
             scratch_shapes=[
                 pltpu.VMEM((nx, S, LANES), dtype),

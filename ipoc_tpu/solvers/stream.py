@@ -259,9 +259,14 @@ def solve_stream_multigrid(
 
     Solutions satisfy the same final-stage convergence criteria as
     :func:`solve_stream`; on nonconvex problems a small fraction of
-    scenarios (~2.6% on cold-start cartpole H=100) converges to a different
-    local basin than the single-grid path, with near-symmetric cost
-    differences.  Measured end-to-end equivalent-iteration gain: ~1.8x.
+    scenarios (~2.4% on cold-start cartpole H=100) converges to a different
+    local basin than the single-grid path.  Measured (driver bench quality
+    gate, BENCH_r02/r03): those switched lanes average +2.1% HIGHER raw
+    cost than the single-grid solutions — NOT symmetric; the multigrid
+    number books slightly-worse optima on that slice.  Use
+    :func:`solve_stream` (single grid) when per-scenario reference
+    semantics matter more than throughput.  Measured end-to-end
+    equivalent-iteration gain: ~1.8x.
 
     This is new TPU-native surface (no reference analogue; the reference
     solves one problem per call, SURVEY §2).
