@@ -19,20 +19,25 @@ denominator used for ``vs_baseline`` is the BASELINE.json north-star target
 pro-rated to one chip: 1e4 solves/s on a v5p-16 (8 chips) => 1250 solves/s
 per chip.  vs_baseline > 1 beats the per-chip north star.
 
-The headline configuration is the multigrid-in-time stream
-(solvers/stream.py solve_stream_multigrid).  In that mode the JSON line
-also carries a ``"quality"`` block comparing the multigrid solutions
-against an untimed single-grid stream run on the same scenarios:
-mean/max relative converged-cost delta over basin-matched scenarios and
-the basin-switch fraction (scenarios whose raw cost differs by >0.1%
-relative — a different local optimum, not a convergence failure; see
-docs/PERFORMANCE.md "Quality caveat").  Set IPOC_BENCH_QUALITY=0 to skip.
+The default mode runs BOTH streaming executors and reports the
+quality-neutral one as the headline: the ``value`` is the timed
+SINGLE-GRID stream (one faithful cold solve per scenario — reference
+semantics; basin switching impossible by construction), while the
+faster multigrid-in-time stream (solvers/stream.py
+solve_stream_multigrid) rides along under ``"multigrid"`` together with
+its measured quality gate (basin-switch fraction and signed cost deltas
+vs the single-grid solutions; its switched lanes average +2.1% worse
+cost — docs/PERFORMANCE.md "Quality caveat").  Set IPOC_BENCH_QUALITY=0
+to skip the gate and report raw multigrid throughput.
 
-Env knobs: IPOC_BENCH_BATCH (default 2048 lanes), IPOC_BENCH_POOL (default
+Env knobs: IPOC_BENCH_BATCH (default 4096 lanes), IPOC_BENCH_POOL (default
 32x lanes), IPOC_BENCH_REPS (default 5), IPOC_BENCH_HORIZON (default 100),
-IPOC_BENCH_MODE (mg|stream|batch), IPOC_BENCH_REFILL (default 16),
-IPOC_BENCH_COARSEN (default 4), IPOC_BENCH_QUALITY (default 1 in mg mode),
-IPOC_BENCH_PROBE_RETRIES (default 4).
+IPOC_BENCH_MODE (mg|stream|batch|nmpc), IPOC_BENCH_REFILL (default 16),
+IPOC_BENCH_COARSEN (default 4), IPOC_BENCH_QUALITY (default 1 in mg and
+stream modes), IPOC_BENCH_PROBE_RETRIES (default 4; 0 skips the probe),
+IPOC_BENCH_IMPL (''|seq|ddp), IPOC_BENCH_DDP_PREDICTOR (0/1),
+IPOC_BENCH_NMPC_STEPS / IPOC_BENCH_NMPC_CAP (nmpc mode: closed-loop steps
+per rep and Newton-iteration cap per warm resolve).
 """
 
 import json
@@ -94,6 +99,8 @@ def probe_backend() -> None:
     """Verify the accelerator backend actually executes, in a subprocess
     with a hard timeout (outages manifest as hangs as well as init errors:
     BENCH_r01.json).  Bounded retry with backoff; raises on exhaustion."""
+    if PROBE_RETRIES <= 0:  # explicit skip (e.g. known-warm backend)
+        return
     code = (
         "import jax, numpy as np;"
         "x = jax.numpy.ones((128, 128));"
@@ -259,14 +266,58 @@ def run() -> dict:
         "vs_baseline": round(n_scen / med / NORTH_STAR_PER_CHIP, 4),
     }
 
+    if mode == "stream" and QUALITY:
+        # Single-grid stream: one faithful cold solve per scenario
+        # (reference semantics, par_interior_point_newton.py:228-254;
+        # per-lane ≡ flat ≡ staged-single pinned by tests/test_stream.py) —
+        # no basin-switch caveat by construction.  Report convergence
+        # health + the pool's raw converged cost.
+        def raw_cost(u, x0s):
+            x = rollout(ocp.dynamics, u, x0s)
+            return ocp.total_cost(x, u, jnp.asarray(1e-9, u.dtype))
+
+        costs = _sync(jax.jit(jax.vmap(raw_cost))(sol.controls, x0b)
+                      ).astype(np.float64)
+        iters = _sync(sol.iterations)
+        payload["quality"] = {
+            "basin_switch_frac": 0.0,
+            "mean_signed_rel_cost_delta_switched": 0.0,
+            "semantics": "single-grid: one faithful cold solve/scenario",
+            "mean_iterations": round(float(iters.mean()), 2),
+            "max_iterations": int(iters.max()),
+            "mean_raw_cost": float(costs.mean()),
+            "frac_nonfinite_cost": float(
+                (~np.isfinite(costs)).mean()),
+        }
+
     if mode == "mg" and QUALITY:
-        # Quality gate (untimed): the multigrid headline must carry its
-        # evidence.  Compare per-scenario barrier-free converged costs
-        # against the single-grid stream on the same scenarios; only the
-        # (N,) cost vectors leave the device.
+        # Quality-neutral headline (VERDICT r2 #2): the multigrid stream's
+        # basin-switched lanes average +2.1% worse raw cost than the
+        # faithful single-grid solutions, so the HEADLINE value is the
+        # TIMED single-grid stream (one faithful cold solve per scenario —
+        # reference semantics, par:228-254; basin switching impossible by
+        # construction), and the multigrid number rides along under
+        # "multigrid" with its measured quality gate.
+        mg_value = payload["value"]
         ref_step = jax.jit(lambda u, x: solve_stream(
             ocp, u, x, cfg, lanes=BATCH, refill_every=REFILL))
         ref_sol = ref_step(u0, x0b)
+        _sync(ref_sol.iterations)
+        sg_times = []
+        for _ in range(max(3, REPS - 2)):
+            t0 = time.perf_counter()
+            ref_sol = ref_step(u0, x0b)
+            _sync(ref_sol.iterations)
+            sg_times.append(time.perf_counter() - t0)
+        sg_med = statistics.median(sg_times)
+        payload["value"] = round(n_scen / sg_med, 3)
+        payload["vs_baseline"] = round(
+            n_scen / sg_med / NORTH_STAR_PER_CHIP, 4)
+        payload["quality"] = {
+            "basin_switch_frac": 0.0,
+            "mean_signed_rel_cost_delta_switched": 0.0,
+            "semantics": "single-grid: one faithful cold solve/scenario",
+        }
 
         def raw_cost(u, x0s):
             x = rollout(ocp.dynamics, u, x0s)
@@ -278,15 +329,19 @@ def run() -> dict:
         rel = np.abs(c_mg - c_sg) / np.maximum(np.abs(c_sg), 1e-12)
         switched = rel > 1e-3  # different local basin, not noise
         matched = ~switched
-        payload["quality"] = {
-            "basin_switch_frac": round(float(switched.mean()), 5),
-            "mean_rel_cost_delta_matched": float(rel[matched].mean())
-            if matched.any() else None,
-            "max_rel_cost_delta_matched": float(rel[matched].max())
-            if matched.any() else None,
-            "mean_signed_rel_cost_delta_switched":
-            float(((c_mg - c_sg) / np.maximum(np.abs(c_sg), 1e-12))
-                  [switched].mean()) if switched.any() else 0.0,
+        payload["multigrid"] = {
+            "value": mg_value,
+            "vs_baseline": round(mg_value / NORTH_STAR_PER_CHIP, 4),
+            "quality": {
+                "basin_switch_frac": round(float(switched.mean()), 5),
+                "mean_rel_cost_delta_matched": float(rel[matched].mean())
+                if matched.any() else None,
+                "max_rel_cost_delta_matched": float(rel[matched].max())
+                if matched.any() else None,
+                "mean_signed_rel_cost_delta_switched":
+                float(((c_mg - c_sg) / np.maximum(np.abs(c_sg), 1e-12))
+                      [switched].mean()) if switched.any() else 0.0,
+            },
         }
     return payload
 

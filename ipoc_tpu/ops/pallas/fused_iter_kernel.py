@@ -679,11 +679,13 @@ def _term_fwd_fn(ocp: OCP):
     return term
 
 
-def _stage_ddp_fwd_fn(ocp: OCP, nx: int, nu: int):
+def _stage_ddp_fwd_fn(ocp: OCP, nx: int, nu: int, with_cu: bool = False):
     """Per-element DDP forward step: NONLINEAR closed-loop re-rollout
     through the true dynamics (reference ddp:73-90; utils/integrators.py
     closed_loop_rollout).  The carry is the trial state itself (not a
-    deviation): ``du = k + K (tx - x)``, ``tx+ = f(tx, u + du)``."""
+    deviation): ``du = k + K (tx - x)``, ``tx+ = f(tx, u + du)``.
+    ``with_cu`` emits sum(cu^2) at the trial point (DDP scales the
+    Levenberg parameter by ||cu|| unconditionally, reference ddp:34-35)."""
 
     def stage(x, u, bp, tx, Kk):
         k = Kk[:nu]
@@ -693,6 +695,9 @@ def _stage_ddp_fwd_fn(ocp: OCP, nx: int, nu: int):
         txn = ocp.dynamics(tx, tu)
         cst = ocp.stage_cost(tx, tu, bp)
         cmax = jnp.max(ocp.constraints(tx, tu))
+        if with_cu:
+            cu = jax.grad(ocp.stage_cost, 1)(tx, tu, bp)
+            return tu, tx, txn, cst, cmax, jnp.sum(cu * cu)
         return tu, tx, txn, cst, cmax
 
     return stage
@@ -858,7 +863,7 @@ def _fused_fwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct,
 
 def _fused_iter_merged_kernel(*refs, nx, nu, T, stage_b, term_b, stage_f,
                               term_f, n_cs_b, n_ct_b, n_cs_f, n_ct_f,
-                              ddp=False):
+                              ddp=False, with_cu=False):
     """Backward Riccati sweep + forward trial in ONE launch (grid (C, 2T)).
 
     Grid steps ``t < T`` replay :func:`_fused_bwd_kernel`'s body with the
@@ -889,10 +894,18 @@ def _fused_iter_merged_kernel(*refs, nx, nu, T, stage_b, term_b, stage_f,
     i += n_cs_f
     ct_f = [r[0] for r in refs[i:i + n_ct_f]]
     i += n_ct_f
-    (tu_o, tx_o, txT_o, cost_o, dv_o, piv_o, hu_o, nc_o, mc_o) = (
-        refs[i:i + 9])
-    (Kk_s, Vxx_s, Vx_s, lam_s, dv_s, piv_s, cost_s, hu_s,
-     dx_s, nc_s, mc_s) = refs[i + 9:]
+    n_out = 10 if with_cu else 9
+    outs = refs[i:i + n_out]
+    scratch = refs[i + n_out:]
+    if with_cu:
+        (tu_o, tx_o, txT_o, cost_o, dv_o, piv_o, hu_o, nc_o, mc_o,
+         cun_o) = outs
+        (Kk_s, Vxx_s, Vx_s, lam_s, dv_s, piv_s, cost_s, hu_s,
+         dx_s, nc_s, mc_s, cun_s) = scratch
+    else:
+        (tu_o, tx_o, txT_o, cost_o, dv_o, piv_o, hu_o, nc_o, mc_o) = outs
+        (Kk_s, Vxx_s, Vx_s, lam_s, dv_s, piv_s, cost_s, hu_s,
+         dx_s, nc_s, mc_s) = scratch
     t = pl.program_id(1)
 
     x = x_ref[0, 0]
@@ -987,9 +1000,16 @@ def _fused_iter_merged_kernel(*refs, nx, nu, T, stage_b, term_b, stage_f,
             dx_s[:] = x if ddp else jnp.zeros_like(dx_s)
             nc_s[:] = jnp.zeros_like(nc_s)
             mc_s[:] = jnp.full_like(mc_s, -jnp.inf)
+            if with_cu:
+                cun_s[:] = jnp.zeros_like(cun_s)
 
         Kk = Kk_s[pl.ds(t - T, 1)][0]
-        tu, tx, dxn, cst, cmax = stage_f(x, u, bp, dx_s[:], Kk, *cs_f)
+        out = stage_f(x, u, bp, dx_s[:], Kk, *cs_f)
+        if with_cu:
+            tu, tx, dxn, cst, cmax, cusq = out
+            cun_s[:] = cun_s[:] + cusq[None]
+        else:
+            tu, tx, dxn, cst, cmax = out
         tu_o[0, 0] = tu
         tx_o[0, 0] = tx
         nc_s[:] = nc_s[:] + cst[None]
@@ -1002,6 +1022,8 @@ def _fused_iter_merged_kernel(*refs, nx, nu, T, stage_b, term_b, stage_f,
             txT_o[0] = txT
             nc_o[0, 0] = nc_s[0] + cT
             mc_o[0, 0] = mc_s[0]
+            if with_cu:
+                cun_o[0, 0] = cun_s[0]
 
 
 # ---------------------------------------------------------------------------
@@ -1088,7 +1110,7 @@ def fused_newton_iter_packed(ocp: OCP, xs_p, xT_p, u_p, bp_p, reg_p,
     )
     term_b, ct_b = _lift(_term_fn(ocp, nx), sds((nx,)))
     if ddp:
-        fwd_fn = _stage_ddp_fwd_fn(ocp, nx, nu)
+        fwd_fn = _stage_ddp_fwd_fn(ocp, nx, nu, with_cu=with_cu)
     else:
         fwd_fn = _stage_fwd_fn(ocp, nx, nu, with_cu=with_cu)
     stage_f, cs_f = _lift(
@@ -1117,34 +1139,28 @@ def fused_newton_iter_packed(ocp: OCP, xs_p, xT_p, u_p, bp_p, reg_p,
             "the fused DDP iteration is only implemented as the merged "
             "one-launch kernel (gains ring must fit VMEM; see _merged_fits)"
         )
-    if with_cu and (merged or ddp):
+    if with_cu and merged and not ddp:
         raise NotImplementedError(
-            "with_cu is only implemented on the two-launch Newton path"
+            "with_cu on the merged kernel is only wired for the DDP path"
         )
     if merged:
         ker = functools.partial(
             _fused_iter_merged_kernel, nx=nx, nu=nu, T=T,
             stage_b=stage_b, term_b=term_b, stage_f=stage_f, term_f=term_f,
             n_cs_b=len(cs_b), n_ct_b=len(ct_b),
-            n_cs_f=len(cs_f), n_ct_f=len(ct_f), ddp=ddp,
+            n_cs_f=len(cs_f), n_ct_f=len(ct_f), ddp=ddp, with_cu=with_cu,
         )
         ng_rows = ng
         with jax.enable_x64(False):
-            (tu_p, tx_p, txT_p, cost_p, dv_p, piv_p, hu_p, nc_p,
-             mc_p) = pl.pallas_call(
+            merged_outs = pl.pallas_call(
                 ker,
                 grid=(C, 2 * T),
                 out_shape=(
                     jax.ShapeDtypeStruct((C, T, nu, S, LANES), dtype),
                     jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
                     jax.ShapeDtypeStruct((C, nx, S, LANES), dtype),
-                    jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
-                    jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
-                    jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
-                    jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
-                    jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
-                    jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),
-                ),
+                ) + (jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),) * (
+                    7 if with_cu else 6),
                 in_specs=[
                     _iter_spec(nx, S, T), _iter_spec(nu, S, T),
                     bcast_spec(nx), scal_spec(), scal_spec(),
@@ -1154,9 +1170,8 @@ def fused_newton_iter_packed(ocp: OCP, xs_p, xT_p, u_p, bp_p, reg_p,
                   + [const_spec(c.size) for c in ct_f],
                 out_specs=(
                     _iter_out_spec(nu, S, T), _iter_out_spec(nx, S, T),
-                    bcast_spec(nx), scal_spec(), scal_spec(), scal_spec(),
-                    scal_spec(), scal_spec(), scal_spec(),
-                ),
+                    bcast_spec(nx),
+                ) + (scal_spec(),) * (7 if with_cu else 6),
                 scratch_shapes=[
                     pltpu.VMEM((T, ng_rows, S, LANES), dtype),
                     pltpu.VMEM((nx * nx, S, LANES), dtype),
@@ -1169,12 +1184,19 @@ def fused_newton_iter_packed(ocp: OCP, xs_p, xT_p, u_p, bp_p, reg_p,
                     pltpu.VMEM((nx, S, LANES), dtype),
                     pltpu.VMEM((1, S, LANES), dtype),
                     pltpu.VMEM((1, S, LANES), dtype),
-                ],
+                ] + ([pltpu.VMEM((1, S, LANES), dtype)] if with_cu else []),
                 interpret=interpret,
             )(xs_p, u_p, xT_p, bp_p, reg_p,
               *_pack_consts(cs_b, S), *_pack_consts(ct_b, S),
               *_pack_consts(cs_f, S), *_pack_consts(ct_f, S))
 
+        if with_cu:
+            (tu_p, tx_p, txT_p, cost_p, dv_p, piv_p, hu_p, nc_p, mc_p,
+             cun_p) = merged_outs
+            return (tu_p, tx_p, txT_p, cost_p, nc_p, mc_p, dv_p, piv_p,
+                    hu_p, cun_p)
+        (tu_p, tx_p, txT_p, cost_p, dv_p, piv_p, hu_p, nc_p,
+         mc_p) = merged_outs
         return (tu_p, tx_p, txT_p, cost_p, nc_p, mc_p, dv_p, piv_p, hu_p)
 
     bwd = functools.partial(

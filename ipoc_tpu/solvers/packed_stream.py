@@ -136,7 +136,10 @@ def packed_lane_iter(ocp: OCP, lane: PackedLane, cfg: SolverConfig,
     )
 
     dtype = lane.u.dtype
-    if cfg.scale_reg_by_grad:
+    ddp = cfg.newton_impl == "ddp"
+    if ddp or cfg.scale_reg_by_grad:
+        # DDP scales the Levenberg parameter by ||cu|| unconditionally
+        # (reference ddp:34-35); the Newton path follows cfg.
         reg = lane.rp * jnp.maximum(
             lane.cun, jnp.asarray(cfg.reg_scale_floor, dtype)
         )
@@ -146,7 +149,7 @@ def packed_lane_iter(ocp: OCP, lane: PackedLane, cfg: SolverConfig,
     (tu, tx, txT, cost_p, nc_p, mc_p, dv_p, piv_p, hu_p, cun_p) = (
         fused_newton_iter_packed(
             ocp, lane.xs, lane.xT, lane.u, lane.bp[:, None], reg[:, None],
-            with_cu=True, interpret=interpret, merged=False,
+            with_cu=True, interpret=interpret, merged=ddp, ddp=ddp,
         )
     )
     cost = cost_p[:, 0]
@@ -246,24 +249,36 @@ def packed_lane_iter(ocp: OCP, lane: PackedLane, cfg: SolverConfig,
 
 
 def packed_stream_eligible(cfg: SolverConfig, dtype, nx: int,
-                           resident: int) -> bool:
+                           resident: int, T: int | None = None,
+                           nu: int | None = None) -> bool:
     """Gate for the packed stream path (kill switch IPOC_PACKED_STREAM=0).
 
-    Requires the fused Newton evaluator, the fused kernels' eligibility
-    (f32, small nx, TPU — or forced on for interpret-mode tests), and a
-    resident-lane count that fills at least 8 sublanes."""
+    Requires the fused Newton evaluator (or the merged-kernel DDP
+    evaluator, whose gains ring must fit VMEM), the fused kernels'
+    eligibility (f32, small nx, TPU — or forced on for interpret-mode
+    tests), and a resident-lane count that fills at least 8 sublanes."""
     import os
 
     if os.environ.get("IPOC_PACKED_STREAM", "1") == "0":
         return False
-    if cfg.newton_impl != "fused" or cfg.terminal_hessian != "exact":
+    if cfg.terminal_hessian != "exact":
+        return False
+    if cfg.newton_impl not in ("fused", "ddp"):
         return False
     from ipoc_tpu.ops.pallas import use_pallas_scans
     from ipoc_tpu.ops.pallas.seq_newton_kernel import _stream_sublanes
 
     if not use_pallas_scans(dtype, nx):
         return False
-    return _stream_sublanes(resident) >= 8
+    S = _stream_sublanes(resident)
+    if S < 8:
+        return False
+    if cfg.newton_impl == "ddp":
+        from ipoc_tpu.ops.pallas.fused_iter_kernel import _merged_fits
+
+        if T is None or nu is None or not _merged_fits(T, nx, nu, S, dtype):
+            return False
+    return True
 
 
 def solve_stream_packed(

@@ -106,7 +106,8 @@ def solve_stream(
         solve_stream_packed,
     )
 
-    if packed_stream_eligible(cfg, dtype, initial_states.shape[-1], B):
+    if packed_stream_eligible(cfg, dtype, initial_states.shape[-1], B,
+                              T=T, nu=nu):
         return solve_stream_packed(
             ocp, controls, initial_states, cfg, lanes=lanes,
             refill_every=refill_every, bp_init=bp_init, rp_init=rp_init,

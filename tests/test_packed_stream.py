@@ -65,12 +65,17 @@ def _packed_init(ocp, u0, x0b, cfg):
     return packed_lane_init(ocp, u_p, x0_p, bp0, rp0, cfg, interpret=True)
 
 
-@pytest.mark.parametrize("predictor", [True, False])
-def test_packed_lane_iter_matches_flat(predictor):
+@pytest.mark.parametrize("predictor,impl", [
+    (True, "fused"),
+    (False, "fused"),
+    pytest.param(True, "ddp", marks=pytest.mark.slow),
+])
+def test_packed_lane_iter_matches_flat(predictor, impl):
     """A few packed iterations (incl. a forced stage transition via a tiny
-    per-stage cap) track the flat-mode lanes."""
+    per-stage cap) track the flat-mode lanes — Newton (two-launch) and DDP
+    (merged one-launch) evaluators."""
     cfg = ipoc_tpu.BATCH_CONFIG.replace(
-        max_newton_iters=2, stage_predictor=predictor
+        max_newton_iters=2, stage_predictor=predictor, newton_impl=impl
     )
     ocp, u0, x0b = _setup(cfg)
 
