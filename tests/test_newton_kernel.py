@@ -59,23 +59,12 @@ def test_fused_matches_pipeline(model, T, nx):
     assert bool(ok) == bool(feas_ref)
 
 
-def test_fused_infeasible_flag_fast():
-    """Fast-tier twin of test_fused_infeasible_flag (ADVICE r2): tiny T so
-    the interpret-mode run stays cheap while the feasibility-flag path keeps
-    default-run coverage."""
-    ocp, d, lin_reg, XT = _stage_data(pendulum, 8, 2)
-    R_bad = lin_reg.R.at[3].set(-jnp.eye(1, dtype=jnp.float32))
-    lin_bad = lin_reg._replace(R=R_bad)
-    _, _, _, ok = fused_newton_step(
-        lin_bad.r, lin_bad.Q, lin_bad.R, lin_bad.M, d.fx, d.fu, XT,
-        interpret=True,
-    )
-    assert not bool(ok)
-
-
-def test_fused_vmap_batch_rule_fast():
-    """Fast-tier twin of test_fused_vmap_batch_rule (ADVICE r2): covers the
-    custom_vmap dispatch with a tiny horizon."""
+def test_fused_vmap_and_infeasible_flag_fast():
+    """Fast-tier twin of test_fused_vmap_batch_rule AND
+    test_fused_infeasible_flag (ADVICE r2) in ONE lowering: a 2-lane vmap
+    where lane 1 carries an indefinite R — checks the custom_vmap dispatch
+    (lane 0 matches the unbatched call) and the per-lane feasibility flag
+    (lane 1 trips ok=False) with a tiny horizon."""
     ocp, d, lin_reg, XT = _stage_data(pendulum, 8, 2)
     B = 2
     tile = lambda a: jnp.broadcast_to(a, (B,) + a.shape) * jnp.linspace(
@@ -83,6 +72,7 @@ def test_fused_vmap_batch_rule_fast():
     ).astype(jnp.float32).reshape((B,) + (1,) * a.ndim)
     ru, Q, R, M = map(tile, (lin_reg.r, lin_reg.Q, lin_reg.R, lin_reg.M))
     fx, fu, XTb = map(tile, (d.fx, d.fu, XT))
+    R = R.at[1, 3].set(-jnp.eye(1, dtype=jnp.float32))
     with pltpu.force_tpu_interpret_mode():
         du_b, dx_b, pred_b, ok_b = jax.vmap(
             lambda *a: fused_newton_step(*a)
@@ -92,6 +82,8 @@ def test_fused_vmap_batch_rule_fast():
         )
     np.testing.assert_allclose(du_b[0], du_0, atol=1e-5)
     np.testing.assert_allclose(float(pred_b[0]), float(pred_0), rtol=1e-5)
+    assert bool(ok_b[0])
+    assert not bool(ok_b[1])
 
 
 @pytest.mark.slow

@@ -58,6 +58,7 @@ def test_swerves_and_rides_the_disc(solver):
     assert float(jnp.max(jnp.abs(u[:, 1]))) > 0.5
 
 
+@pytest.mark.slow
 def test_par_seq_same_cost():
     ocp, x0, u0 = _setup()
     up, _ = jax.jit(lambda u, x: ipoc_tpu.par_interior_point_optimal_control(
