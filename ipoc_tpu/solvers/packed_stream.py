@@ -274,6 +274,13 @@ def packed_stream_eligible(cfg: SolverConfig, dtype, nx: int,
     if S < 8:
         return False
     if cfg.newton_impl == "ddp":
+        # Packed DDP (merged kernel + in-kernel ||cu||) passes the
+        # interpret-mode equivalence tests but faulted on the first real
+        # v5e run (TPU device error during warmup) — opt-in until the
+        # Mosaic fault is isolated; the unpacked DDP stream path is the
+        # hardware-proven default.
+        if os.environ.get("IPOC_PACKED_DDP", "0") != "1":
+            return False
         from ipoc_tpu.ops.pallas.fused_iter_kernel import _merged_fits
 
         if T is None or nu is None or not _merged_fits(T, nx, nu, S, dtype):
