@@ -558,25 +558,26 @@ def _const_spec(rows, S):
                         memory_space=pltpu.VMEM)
 
 
-def _iter_spec(rows, S, T):
-    """Merged-kernel input walk over a (C, 2T) grid: newest-to-oldest
-    through the backward phase (grid steps t < T), oldest-to-newest through
-    the forward phase.  The phase boundary revisits block 0 (t = T-1 and
-    t = T both map there), so no extra fetch is paid."""
+def _iter_spec(rows, S, Tb, tb=1):
+    """Merged-kernel input walk over a (C, 2*Tb) grid: newest-to-oldest
+    block order through the backward phase (grid steps t < Tb),
+    oldest-to-newest through the forward phase.  The phase boundary
+    revisits block 0 (t = Tb-1 and t = Tb both map there), so no extra
+    fetch is paid.  ``tb`` stages per block (time-blocking)."""
     return pl.BlockSpec(
-        (1, 1, rows, S, LANES),
-        lambda b, t: (b, jnp.where(t < T, T - 1 - t, t - T), 0, 0, 0),
+        (1, tb, rows, S, LANES),
+        lambda b, t: (b, jnp.where(t < Tb, Tb - 1 - t, t - Tb), 0, 0, 0),
         memory_space=pltpu.VMEM)
 
 
-def _iter_out_spec(rows, S, T):
+def _iter_out_spec(rows, S, Tb, tb=1):
     """Merged-kernel per-stage output: parked on block 0 through the
     backward phase (the window is only copied back when the block index
-    changes, and the forward phase's t == T step fully overwrites it before
-    that first change), then walking forward."""
+    changes, and the forward phase's t == Tb step fully overwrites it
+    before that first change), then walking forward."""
     return pl.BlockSpec(
-        (1, 1, rows, S, LANES),
-        lambda b, t: (b, jnp.maximum(t - T, 0), 0, 0, 0),
+        (1, tb, rows, S, LANES),
+        lambda b, t: (b, jnp.maximum(t - Tb, 0), 0, 0, 0),
         memory_space=pltpu.VMEM)
 
 
@@ -863,7 +864,7 @@ def _fused_fwd_kernel(*refs, nx, nu, T, stage, term, n_cs, n_ct,
 
 def _fused_iter_merged_kernel(*refs, nx, nu, T, stage_b, term_b, stage_f,
                               term_f, n_cs_b, n_ct_b, n_cs_f, n_ct_f,
-                              ddp=False, with_cu=False):
+                              ddp=False, with_cu=False, tb=1):
     """Backward Riccati sweep + forward trial in ONE launch (grid (C, 2T)).
 
     Grid steps ``t < T`` replay :func:`_fused_bwd_kernel`'s body with the
@@ -907,12 +908,11 @@ def _fused_iter_merged_kernel(*refs, nx, nu, T, stage_b, term_b, stage_f,
         (Kk_s, Vxx_s, Vx_s, lam_s, dv_s, piv_s, cost_s, hu_s,
          dx_s, nc_s, mc_s) = scratch
     t = pl.program_id(1)
+    Tb = T // tb
 
-    x = x_ref[0, 0]
-    u = u_ref[0, 0]
     bp = bp_ref[0, 0]
 
-    @pl.when(t < T)
+    @pl.when(t < Tb)
     def _bwd():
         @pl.when(t == 0)
         def _():
@@ -929,94 +929,104 @@ def _fused_iter_merged_kernel(*refs, nx, nu, T, stage_b, term_b, stage_f,
             hu_s[:] = jnp.zeros_like(hu_s)
 
         reg = reg_ref[0, 0]
-        contraction = Vx_s[:] if ddp else lam_s[:]
-        ru, Q, R, M, fx, fu, lam_new, cst = stage_b(x, u, bp, contraction,
-                                                    *cs_b)
-        R = jnp.stack(
-            [R[r] + reg if r % (nu + 1) == 0 else R[r]
-             for r in range(nu * nu)],
-            axis=0,
-        )
+        for jt in reversed(range(tb)):
+            x = x_ref[0, jt]
+            u = u_ref[0, jt]
+            contraction = Vx_s[:] if ddp else lam_s[:]
+            ru, Q, R, M, fx, fu, lam_new, cst = stage_b(
+                x, u, bp, contraction, *cs_b)
+            R = jnp.stack(
+                [R[r] + reg if r % (nu + 1) == 0 else R[r]
+                 for r in range(nu * nu)],
+                axis=0,
+            )
 
-        Vxx = Vxx_s[:]
-        Vx = Vx_s[:]
-        fxT = _transpose(fx, nx, nx)
-        fuT = _transpose(fu, nx, nu)
-        Vfx = _mm(Vxx, fx, nx, nx, nx)
-        Vfu = _mm(Vxx, fu, nx, nx, nu)
-        Qxx = _add_mm_sym(Q, fxT, Vfx, nx, nx)
-        Quu = _add_mm_sym(R, fuT, Vfu, nu, nx)
-        Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
-        if ddp:
-            # The Hamiltonian gradient (contracted with Vx) IS (Qx, Qu)
-            # (reference ddp:44-45).
-            Qu = ru
-            Qx = lam_new
-        else:
-            Qu = ru + _mv(fuT, Vx, nu, nx)
-            Qx = _mv(fxT, Vx, nx, nx)
+            Vxx = Vxx_s[:]
+            Vx = Vx_s[:]
+            fxT = _transpose(fx, nx, nx)
+            fuT = _transpose(fu, nx, nu)
+            Vfx = _mm(Vxx, fx, nx, nx, nx)
+            Vfu = _mm(Vxx, fu, nx, nx, nu)
+            Qxx = _add_mm_sym(Q, fxT, Vfx, nx, nx)
+            Quu = _add_mm_sym(R, fuT, Vfu, nu, nx)
+            Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
+            if ddp:
+                # The Hamiltonian gradient (contracted with Vx) IS (Qx, Qu)
+                # (reference ddp:44-45).
+                Qu = ru
+                Qx = lam_new
+            else:
+                Qu = ru + _mv(fuT, Vx, nu, nx)
+                Qx = _mv(fxT, Vx, nx, nx)
 
-        rhs = _gain_rhs(Qu, _transpose(Qxu, nx, nu), nx, nu)
-        sol, piv = _solve_track(Quu, rhs, nu, 1 + nx)
-        kg = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)], axis=0)
-        K = -jnp.stack(
-            [sol[i_ * (1 + nx) + 1 + j]
-             for i_ in range(nu) for j in range(nx)],
-            axis=0,
-        )
-        if not ddp:
-            piv = jnp.minimum(piv, _pivots_only(R, nu))
+            rhs = _gain_rhs(Qu, _transpose(Qxu, nx, nu), nx, nu)
+            sol, piv = _solve_track(Quu, rhs, nu, 1 + nx)
+            kg = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)],
+                            axis=0)
+            K = -jnp.stack(
+                [sol[i_ * (1 + nx) + 1 + j]
+                 for i_ in range(nu) for j in range(nx)],
+                axis=0,
+            )
+            if not ddp:
+                piv = jnp.minimum(piv, _pivots_only(R, nu))
 
-        Kk_s[pl.ds(T - 1 - t, 1)] = jnp.concatenate([kg, K], axis=0)[None]
-        Vx_s[:] = Qx + _mv(Qxu, kg, nx, nu)
-        Vxx_s[:] = _add_mm_sym(Qxx, Qxu, K, nx, nu)
-        if ddp:
-            # dV = -1/2 Qu' Quu^{-1} Qu = 1/2 k'Qu (ddp:53,58).
-            dv_s[:] = dv_s[:] + (0.5 * _dot(kg, Qu, nu))[None]
-        else:
-            dv_s[:] = dv_s[:] + (
-                _dot(kg, Qu, nu) + 0.5 * _dot(kg, _mv(Quu, kg, nu, nu), nu)
-            )[None]
-        piv_s[:] = jnp.minimum(piv_s[:], piv[None])
-        cost_s[:] = cost_s[:] + cst[None]
-        hu_s[:] = jnp.maximum(hu_s[:], jnp.max(jnp.abs(ru), axis=0)[None])
-        if not ddp:
-            lam_s[:] = lam_new
+            Kk_s[pl.ds((Tb - 1 - t) * tb + jt, 1)] = jnp.concatenate(
+                [kg, K], axis=0)[None]
+            Vx_s[:] = Qx + _mv(Qxu, kg, nx, nu)
+            Vxx_s[:] = _add_mm_sym(Qxx, Qxu, K, nx, nu)
+            if ddp:
+                # dV = -1/2 Qu' Quu^{-1} Qu = 1/2 k'Qu (ddp:53,58).
+                dv_s[:] = dv_s[:] + (0.5 * _dot(kg, Qu, nu))[None]
+            else:
+                dv_s[:] = dv_s[:] + (
+                    _dot(kg, Qu, nu)
+                    + 0.5 * _dot(kg, _mv(Quu, kg, nu, nu), nu)
+                )[None]
+            piv_s[:] = jnp.minimum(piv_s[:], piv[None])
+            cost_s[:] = cost_s[:] + cst[None]
+            hu_s[:] = jnp.maximum(hu_s[:],
+                                  jnp.max(jnp.abs(ru), axis=0)[None])
+            if not ddp:
+                lam_s[:] = lam_new
 
-        @pl.when(t == T - 1)
+        @pl.when(t == Tb - 1)
         def _():
             cost_o[0, 0] = cost_s[0]
             dv_o[0, 0] = dv_s[0]
             piv_o[0, 0] = piv_s[0]
             hu_o[0, 0] = hu_s[0]
 
-    @pl.when(t >= T)
+    @pl.when(t >= Tb)
     def _fwd():
-        @pl.when(t == T)
+        @pl.when(t == Tb)
         def _():
             # Newton carries the deviation (dx_0 = 0, reference seq:78-90);
             # DDP carries the trial state itself, starting at x_0 (the
             # block delivered at this first forward step IS stage 0).
-            dx_s[:] = x if ddp else jnp.zeros_like(dx_s)
+            dx_s[:] = x_ref[0, 0] if ddp else jnp.zeros_like(dx_s)
             nc_s[:] = jnp.zeros_like(nc_s)
             mc_s[:] = jnp.full_like(mc_s, -jnp.inf)
             if with_cu:
                 cun_s[:] = jnp.zeros_like(cun_s)
 
-        Kk = Kk_s[pl.ds(t - T, 1)][0]
-        out = stage_f(x, u, bp, dx_s[:], Kk, *cs_f)
-        if with_cu:
-            tu, tx, dxn, cst, cmax, cusq = out
-            cun_s[:] = cun_s[:] + cusq[None]
-        else:
-            tu, tx, dxn, cst, cmax = out
-        tu_o[0, 0] = tu
-        tx_o[0, 0] = tx
-        nc_s[:] = nc_s[:] + cst[None]
-        mc_s[:] = jnp.maximum(mc_s[:], cmax[None])
-        dx_s[:] = dxn
+        for jt in range(tb):
+            x = x_ref[0, jt]
+            u = u_ref[0, jt]
+            Kk = Kk_s[pl.ds((t - Tb) * tb + jt, 1)][0]
+            out = stage_f(x, u, bp, dx_s[:], Kk, *cs_f)
+            if with_cu:
+                tu, tx, dxn, cst, cmax, cusq = out
+                cun_s[:] = cun_s[:] + cusq[None]
+            else:
+                tu, tx, dxn, cst, cmax = out
+            tu_o[0, jt] = tu
+            tx_o[0, jt] = tx
+            nc_s[:] = nc_s[:] + cst[None]
+            mc_s[:] = jnp.maximum(mc_s[:], cmax[None])
+            dx_s[:] = dxn
 
-        @pl.when(t == 2 * T - 1)
+        @pl.when(t == 2 * Tb - 1)
         def _():
             txT, cT = term_f(xT_ref[0], dx_s[:], *ct_f)
             txT_o[0] = txT
@@ -1139,22 +1149,24 @@ def fused_newton_iter_packed(ocp: OCP, xs_p, xT_p, u_p, bp_p, reg_p,
             "the fused DDP iteration is only implemented as the merged "
             "one-launch kernel (gains ring must fit VMEM; see _merged_fits)"
         )
-    if with_cu and merged and not ddp:
-        raise NotImplementedError(
-            "with_cu on the merged kernel is only wired for the DDP path"
-        )
     if merged:
+        # Merged-kernel time-blocking only when the caller EXPLICITLY
+        # requested a time_block (the hardware-proven DDP dispatch path
+        # stays at tb=1 unless measured otherwise).
+        tb_m = tb if time_block is not None else 1
+        Tb_m = T // tb_m
         ker = functools.partial(
             _fused_iter_merged_kernel, nx=nx, nu=nu, T=T,
             stage_b=stage_b, term_b=term_b, stage_f=stage_f, term_f=term_f,
             n_cs_b=len(cs_b), n_ct_b=len(ct_b),
             n_cs_f=len(cs_f), n_ct_f=len(ct_f), ddp=ddp, with_cu=with_cu,
+            tb=tb_m,
         )
         ng_rows = ng
         with jax.enable_x64(False):
             merged_outs = pl.pallas_call(
                 ker,
-                grid=(C, 2 * T),
+                grid=(C, 2 * Tb_m),
                 out_shape=(
                     jax.ShapeDtypeStruct((C, T, nu, S, LANES), dtype),
                     jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),
@@ -1162,14 +1174,16 @@ def fused_newton_iter_packed(ocp: OCP, xs_p, xT_p, u_p, bp_p, reg_p,
                 ) + (jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),) * (
                     7 if with_cu else 6),
                 in_specs=[
-                    _iter_spec(nx, S, T), _iter_spec(nu, S, T),
+                    _iter_spec(nx, S, Tb_m, tb_m),
+                    _iter_spec(nu, S, Tb_m, tb_m),
                     bcast_spec(nx), scal_spec(), scal_spec(),
                 ] + [const_spec(c.size) for c in cs_b]
                   + [const_spec(c.size) for c in ct_b]
                   + [const_spec(c.size) for c in cs_f]
                   + [const_spec(c.size) for c in ct_f],
                 out_specs=(
-                    _iter_out_spec(nu, S, T), _iter_out_spec(nx, S, T),
+                    _iter_out_spec(nu, S, Tb_m, tb_m),
+                    _iter_out_spec(nx, S, Tb_m, tb_m),
                     bcast_spec(nx),
                 ) + (scal_spec(),) * (7 if with_cu else 6),
                 scratch_shapes=[

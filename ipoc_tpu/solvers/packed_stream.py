@@ -146,10 +146,20 @@ def packed_lane_iter(ocp: OCP, lane: PackedLane, cfg: SolverConfig,
     else:
         reg = lane.rp
 
+    import os
+
+    merged = ddp or os.environ.get("IPOC_PACKED_MERGED", "0") == "1"
+    tb_kw = {}
+    if merged and not ddp:
+        # the merged-Newton measurement path wants explicit time-blocking
+        from ipoc_tpu.ops.pallas.fused_iter_kernel import pick_time_block
+
+        tb_kw["time_block"] = pick_time_block(lane.u.shape[1])
     (tu, tx, txT, cost_p, nc_p, mc_p, dv_p, piv_p, hu_p, cun_p) = (
         fused_newton_iter_packed(
             ocp, lane.xs, lane.xT, lane.u, lane.bp[:, None], reg[:, None],
-            with_cu=True, interpret=interpret, merged=ddp, ddp=ddp,
+            with_cu=True, interpret=interpret, merged=merged, ddp=ddp,
+            **tb_kw,
         )
     )
     cost = cost_p[:, 0]

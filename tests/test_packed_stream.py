@@ -115,6 +115,32 @@ def test_packed_lane_iter_matches_flat(predictor, impl):
                                np.asarray(flat.x[:, :-1]), atol=5e-4)
 
 
+def test_merged_tb_matches_two_launch():
+    """The merged one-launch Newton iteration with time-blocking (the
+    r3 measurement path, IPOC_PACKED_MERGED=1) == the two-launch packed
+    core, including the in-kernel sum(cu^2)."""
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import (
+        fused_newton_iter_packed,
+    )
+
+    cfg = ipoc_tpu.BATCH_CONFIG
+    ocp, u0, x0b = _setup(cfg)
+    set_pallas_scans("on")
+    with pltpu.force_tpu_interpret_mode():
+        lane = _packed_init(ocp, u0, x0b, cfg)
+        bp_p = lane.bp[:, None]
+        reg_p = jnp.ones_like(bp_p)
+        two = jax.jit(lambda: fused_newton_iter_packed(
+            ocp, lane.xs, lane.xT, lane.u, bp_p, reg_p, with_cu=True,
+            merged=False, interpret=True))()
+        one = jax.jit(lambda: fused_newton_iter_packed(
+            ocp, lane.xs, lane.xT, lane.u, bp_p, reg_p, with_cu=True,
+            merged=True, time_block=2, interpret=True))()
+    for a, b in zip(two, one):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4)
+
+
 @pytest.mark.slow
 def test_packed_stream_end_to_end():
     """solve_stream_packed == solve_stream on a short barrier schedule."""
