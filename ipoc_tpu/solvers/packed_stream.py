@@ -43,7 +43,6 @@ from jax import lax
 
 from ipoc_tpu.config import SolverConfig
 from ipoc_tpu.problem import OCP
-from ipoc_tpu.solvers.barrier import n_barrier_stages
 from ipoc_tpu.solvers.globalization import gain_ratio, lm_update
 
 
