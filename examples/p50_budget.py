@@ -95,7 +95,8 @@ def main():
     #    dt=0.001 — budget is the replan period).
     H, dt = 60, 0.001
     ocp = double_integrator.make_ocp(dt)
-    x0 = double_integrator.initial_state(jnp.float32)
+    # reference linear-MPC initial state (linear_mpc_parallel.py:30-64)
+    x0 = jnp.array([2.0, 1.0], jnp.float32)
     u0 = jnp.zeros((H, 1), jnp.float32)
     rows.append(single_config(
         "linear-mpc double-integrator H=60 seq", ocp, u0, x0,
