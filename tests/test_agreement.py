@@ -55,6 +55,8 @@ def test_cartpole_h100_f32_agreement_gates():
 
     bound = cartpole.CONTROL_BOUND
     active = np.abs(np.asarray(u64)) >= (1.0 - 1e-3) * bound
-    assert active.any()  # the swing-up rides the force box
+    pad = np.pad(active, ((1, 1), (0, 0)), mode="edge")
+    interior = active & pad[:-2] & pad[2:]  # exclude switching-edge stages
+    assert interior.any()  # the swing-up rides the force box
     du = np.abs(np.asarray(u32_64 - u64))
-    assert float(du[active].max()) <= 1e-3 * bound
+    assert float(du[interior].max()) <= 1e-3 * bound
