@@ -304,7 +304,7 @@ def run() -> dict:
         ref_sol = ref_step(u0, x0b)
         _sync(ref_sol.iterations)
         sg_times = []
-        for _ in range(max(3, REPS - 2)):
+        for _ in range(REPS):
             t0 = time.perf_counter()
             ref_sol = ref_step(u0, x0b)
             _sync(ref_sol.iterations)
