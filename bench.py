@@ -175,10 +175,11 @@ def run() -> dict:
         # machinery (VERDICT r1 #5); seq/par select the Newton evaluator.
         cfg = cfg.replace(newton_impl=IMPL)
         if IMPL == "ddp":
-            # Stage predictor on the DDP path (VERDICT r2 #5): measured r3
-            # on hardware — see docs/PERFORMANCE.md "DDP" notes.
-            # IPOC_BENCH_DDP_PREDICTOR=1/0 overrides for re-measurement.
-            pred = os.environ.get("IPOC_BENCH_DDP_PREDICTOR", "0")
+            # Stage predictor on the DDP path: MEASURED r3 on hardware
+            # (B=2048: mg 150.9k -> 169.3k solves/s with predictor ON,
+            # sg 103.7k -> 105.2k; BENCH_ddp*_r03.json) — default ON.
+            # IPOC_BENCH_DDP_PREDICTOR=0 reverts to plain warm starts.
+            pred = os.environ.get("IPOC_BENCH_DDP_PREDICTOR", "1")
             cfg = cfg.replace(stage_predictor=pred == "1")
 
     if MODE == "nmpc":
