@@ -283,11 +283,15 @@ def packed_stream_eligible(cfg: SolverConfig, dtype, nx: int,
     if S < 8:
         return False
     if cfg.newton_impl == "ddp":
-        # Packed DDP (merged kernel + in-kernel ||cu||) passes the
-        # interpret-mode equivalence tests but faulted on the first real
-        # v5e run (TPU device error during warmup) — opt-in until the
-        # Mosaic fault is isolated; the unpacked DDP stream path is the
-        # hardware-proven default.
+        # Packed DDP (merged kernel + in-kernel ||cu||): the first v5e
+        # failure was re-diagnosed as the B=4096/S=32 FALLBACK path (the
+        # merged kernel's gains ring exceeds its VMEM budget at S=32, so
+        # both the packed gate and the unpacked dispatch fall back to a
+        # giant vmapped-unfused XLA program, which dies in compilation) —
+        # not the packed kernel itself.  Opt-in (IPOC_PACKED_DDP=1) until
+        # the packed path has a green hardware run at S<=16; the unpacked
+        # DDP stream at B=2048 is the hardware-proven default
+        # (bench_results/BENCH_ddp_pred_r03.json).
         if os.environ.get("IPOC_PACKED_DDP", "0") != "1":
             return False
         from ipoc_tpu.ops.pallas.fused_iter_kernel import _merged_fits
