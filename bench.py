@@ -65,7 +65,11 @@ HORIZON = int(os.environ.get("IPOC_BENCH_HORIZON", "100"))
 MODE = os.environ.get("IPOC_BENCH_MODE", "mg")
 IMPL = os.environ.get("IPOC_BENCH_IMPL", "")
 COARSEN = int(os.environ.get("IPOC_BENCH_COARSEN", "4"))
-REFILL = int(os.environ.get("IPOC_BENCH_REFILL", "16"))
+# K=32 capture/refill cadence measured best for the packed stream (r3
+# sg sweep at B=4096: K=16/24/32 -> 166.3/170.0/170.9k solves/s — the
+# packed step is cheap enough that the amortized capture overhead and
+# the <=K-1-step idle of finished lanes favor a deeper cadence).
+REFILL = int(os.environ.get("IPOC_BENCH_REFILL", "32"))
 QUALITY = os.environ.get("IPOC_BENCH_QUALITY", "1") != "0"
 PROBE_RETRIES = int(os.environ.get("IPOC_BENCH_PROBE_RETRIES", "4"))
 # Cold backend init through the tunnel can exceed 300s right after another
