@@ -283,16 +283,14 @@ def packed_stream_eligible(cfg: SolverConfig, dtype, nx: int,
     if S < 8:
         return False
     if cfg.newton_impl == "ddp":
-        # Packed DDP (merged kernel + in-kernel ||cu||): the first v5e
-        # failure was re-diagnosed as the B=4096/S=32 FALLBACK path (the
-        # merged kernel's gains ring exceeds its VMEM budget at S=32, so
-        # both the packed gate and the unpacked dispatch fall back to a
-        # giant vmapped-unfused XLA program, which dies in compilation) —
-        # not the packed kernel itself.  Opt-in (IPOC_PACKED_DDP=1) until
-        # the packed path has a green hardware run at S<=16; the unpacked
-        # DDP stream at B=2048 is the hardware-proven default
-        # (bench_results/BENCH_ddp_pred_r03.json).
-        if os.environ.get("IPOC_PACKED_DDP", "0") != "1":
+        # Packed DDP (merged kernel + in-kernel ||cu||): hardware-proven
+        # r3 at B=2048/S=16 — 132.7k single-grid solves/s vs 105.2k
+        # unpacked (+26%), identical quality gate — default ON
+        # (IPOC_PACKED_DDP=0 reverts).  The _merged_fits check below
+        # excludes the S=32 case whose VMEM-overflowing FALLBACK (a giant
+        # vmapped-unfused XLA program) dies in compilation; an earlier
+        # v5e failure was mis-attributed to this packed path.
+        if os.environ.get("IPOC_PACKED_DDP", "1") != "1":
             return False
         from ipoc_tpu.ops.pallas.fused_iter_kernel import _merged_fits
 
