@@ -165,7 +165,9 @@ def run_trans(u):
     def body(_, c):
         u, up = c
         xa, xb, ca, cb = vtrans(u, up, x0b, bp_b)
-        return u * jnp.float32(0.9999), xa[:, 1, :1] * 0 + up
+        # thread a data dependence through both carries
+        eps = (ca[0] * jnp.float32(1e-30))
+        return u * jnp.float32(0.9999) + eps, up + eps
 
     u, up = jax.lax.fori_loop(0, M, body, (u, u * jnp.float32(0.99)))
     return u[0, 0, 0], up
