@@ -294,7 +294,11 @@ def packed_stream_eligible(cfg: SolverConfig, dtype, nx: int,
             return False
         from ipoc_tpu.ops.pallas.fused_iter_kernel import _merged_fits
 
-        if T is None or nu is None or not _merged_fits(T, nx, nu, S, dtype):
+        if T is None or nu is None:
+            return False
+        while S > 8 and not _merged_fits(T, nx, nu, S, dtype):
+            S //= 2  # solve_stream_packed caps S the same way
+        if not _merged_fits(T, nx, nu, S, dtype):
             return False
     return True
 
@@ -332,6 +336,15 @@ def solve_stream_packed(
     S = _stream_sublanes(B)
     if S < 8:
         raise ValueError("packed stream needs >= 8 sublanes of lanes")
+    if cfg.newton_impl == "ddp":
+        # The merged DDP kernel's gains ring must fit VMEM: cap the
+        # sublane depth to the largest fitting S (more batch chunks, same
+        # lanes) instead of falling back to the compile-killing unfused
+        # vmap (the B=4096/S=32 failure mode, docs/PERFORMANCE.md).
+        from ipoc_tpu.ops.pallas.fused_iter_kernel import _merged_fits
+
+        while S > 8 and not _merged_fits(T, nx, nu, S, dtype):
+            S //= 2
     chunk = S * LANES
     Bp = _ceil_to(B, chunk)
     C = Bp // chunk
