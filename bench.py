@@ -54,14 +54,9 @@ import time
 # H=1000 74.7 vs 100.4 ms), so it stays at its default (on).
 
 MODEL = os.environ.get("IPOC_BENCH_MODEL", "cartpole")
-_IMPL_EARLY = os.environ.get("IPOC_BENCH_IMPL", "")
 # 4096 lanes + 32-sublane packing measured best on v5e (docs/PERFORMANCE.md:
 # mg headline 172.1k at B=4096 vs 168.0k at B=2048).
-# DDP default batch 2048: the merged DDP kernel's gains ring fits VMEM at
-# S=16; at B=4096/S=32 BOTH dispatch paths fall back to a vmapped-unfused
-# XLA program whose compilation dies with a device error (measured r3).
-BATCH = int(os.environ.get("IPOC_BENCH_BATCH",
-                           "2048" if _IMPL_EARLY == "ddp" else "4096"))
+BATCH = int(os.environ.get("IPOC_BENCH_BATCH", "4096"))
 # Deep pools amortize the stream's drain tail: steps/scenario falls toward
 # mean_iterations/lanes as generations grow (docs/PERFORMANCE.md).
 POOL = int(os.environ.get("IPOC_BENCH_POOL", str(32 * BATCH)))
