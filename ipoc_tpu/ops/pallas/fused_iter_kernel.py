@@ -533,7 +533,16 @@ def pick_time_block(T: int) -> int:
     forced = os.environ.get("IPOC_TIME_BLOCK", "")
     if forced:
         tb = int(forced)
-        return tb if tb >= 1 and T % tb == 0 else 1
+        if tb >= 1 and T % tb == 0:
+            return tb
+        import sys
+
+        print(
+            f"ipoc_tpu: IPOC_TIME_BLOCK={forced} rejected (must be >= 1 "
+            f"and divide T={T}); falling back to tb=1",
+            file=sys.stderr,
+        )
+        return 1
     for tb in (8, 5, 4, 2):
         if T % tb == 0:
             return tb
@@ -1097,9 +1106,10 @@ def fused_newton_iter_packed(ocp: OCP, xs_p, xT_p, u_p, bp_p, reg_p,
     transpose at each kernel boundary — the measured cause of the
     overhead-bound roofline (docs/PERFORMANCE.md).
 
-    ``with_cu`` (two-launch path only) additionally returns the trial
-    point's ``sum(cu^2)`` so the next iteration's Levenberg scale needs no
-    separate gradient pass.
+    ``with_cu`` (supported on both the two-launch and merged paths — the
+    default-on packed DDP path calls the merged kernel with it) additionally
+    returns the trial point's ``sum(cu^2)`` so the next iteration's
+    Levenberg scale needs no separate gradient pass.
 
     Returns ``(tu_p, tx_p, txT_p, cost_p, nc_p, mc_p, dv_p, piv_p, hu_p
     [, cun_p])``; stage outputs hold stages 0..T-1 and the trial terminal
@@ -1906,6 +1916,8 @@ def rollout_cost_packed(ocp: OCP, u_p, x0_p, bp_p, interpret: bool = False,
     term, ct = _lift(ocp.final_cost, sds((nx,)))
 
     tb = pick_time_block(T) if time_block is None else time_block
+    if T % tb != 0:
+        raise ValueError(f"time_block {tb} must divide T={T}")
     Tb = T // tb
     kernel = functools.partial(
         _rollout_cost_packed_kernel, T=T, step=step, term=term,
@@ -2001,6 +2013,8 @@ def transition_packed(ocp: OCP, u_p, up_p, x0_p, bp_p,
     term, ct = _lift(ocp.final_cost, sds((nx,)))
 
     tb = pick_time_block(T) if time_block is None else time_block
+    if T % tb != 0:
+        raise ValueError(f"time_block {tb} must divide T={T}")
     Tb = T // tb
     kernel = functools.partial(
         _transition_packed_kernel, T=T, step=step, term=term,

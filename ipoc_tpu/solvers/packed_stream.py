@@ -127,6 +127,10 @@ def packed_lane_iter(ocp: OCP, lane: PackedLane, cfg: SolverConfig,
     for the staged-parity argument), with the Levenberg scale read from the
     lane's kernel-accumulated ``cun`` instead of a per-iteration gradient
     pass.  ``adv (C,S,L)`` masks lanes exactly as in the unpacked stream.
+
+    The ``IPOC_PACKED_MERGED`` kill switch is read at TRACE time: flipping
+    it after a jitted caller has traced does not change the cached
+    executable (re-jit to switch kernel variants).
     """
     from ipoc_tpu.ops.pallas.fused_iter_kernel import (
         fused_newton_iter_packed,
@@ -257,6 +261,17 @@ def packed_lane_iter(ocp: OCP, lane: PackedLane, cfg: SolverConfig,
     )
 
 
+def _fit_ddp_sublanes(S: int, T: int, nx: int, nu: int, dtype):
+    """Largest sublane depth <= ``S`` (>= 8) whose merged-DDP gains ring
+    fits VMEM, or ``None`` if even S=8 does not fit.  Shared by the
+    eligibility gate and the packed executor so the cap cannot drift."""
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import _merged_fits
+
+    while S > 8 and not _merged_fits(T, nx, nu, S, dtype):
+        S //= 2
+    return S if _merged_fits(T, nx, nu, S, dtype) else None
+
+
 def packed_stream_eligible(cfg: SolverConfig, dtype, nx: int,
                            resident: int, T: int | None = None,
                            nu: int | None = None) -> bool:
@@ -292,13 +307,9 @@ def packed_stream_eligible(cfg: SolverConfig, dtype, nx: int,
         # v5e failure was mis-attributed to this packed path.
         if os.environ.get("IPOC_PACKED_DDP", "1") != "1":
             return False
-        from ipoc_tpu.ops.pallas.fused_iter_kernel import _merged_fits
-
         if T is None or nu is None:
             return False
-        while S > 8 and not _merged_fits(T, nx, nu, S, dtype):
-            S //= 2  # solve_stream_packed caps S the same way
-        if not _merged_fits(T, nx, nu, S, dtype):
+        if _fit_ddp_sublanes(S, T, nx, nu, dtype) is None:
             return False
     return True
 
@@ -341,10 +352,13 @@ def solve_stream_packed(
         # sublane depth to the largest fitting S (more batch chunks, same
         # lanes) instead of falling back to the compile-killing unfused
         # vmap (the B=4096/S=32 failure mode, docs/PERFORMANCE.md).
-        from ipoc_tpu.ops.pallas.fused_iter_kernel import _merged_fits
-
-        while S > 8 and not _merged_fits(T, nx, nu, S, dtype):
-            S //= 2
+        S = _fit_ddp_sublanes(S, T, nx, nu, dtype)
+        if S is None:
+            raise ValueError(
+                "packed DDP stream: the merged kernel's gains ring does "
+                f"not fit VMEM even at S=8 (T={T}, nx={nx}, nu={nu}); "
+                "use the unpacked stream (solve_stream) for this problem"
+            )
     chunk = S * LANES
     Bp = _ceil_to(B, chunk)
     C = Bp // chunk

@@ -100,7 +100,11 @@ def solve_stream(
     # (C, T, rows, S, LANES) layout across iterations — no per-iteration
     # pack/unpack relayout, no padded-tile glue, in-kernel ||cu|| —
     # measured cure for the overhead-bound step (docs/PERFORMANCE.md).
-    # Kill switch: IPOC_PACKED_STREAM=0.
+    # Kill switch: IPOC_PACKED_STREAM=0.  NOTE: this dispatch (and the
+    # IPOC_PACKED_DDP / IPOC_PACKED_MERGED reads inside) binds at TRACE
+    # time — flipping the env var after a jitted caller has traced has no
+    # effect on the cached executable; re-jit (or clear jax caches) to
+    # switch variants.
     from ipoc_tpu.solvers.packed_stream import (
         packed_stream_eligible,
         solve_stream_packed,
