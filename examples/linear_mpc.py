@@ -40,24 +40,53 @@ def build_lqt(T=5, dt=1e-3, dtype=jnp.float32):
 
 
 def main():
+    import json
+    import statistics
+
+    from ipoc_tpu.utils.timing import sync
+
     n_steps = 5000
+    reps = int(os.environ.get("IPOC_MPC_REPS", "5"))
     lqt = build_lqt()
     x0 = jnp.array([2.0, 1.0], lqt.A.dtype)
 
+    result = {
+        "metric": "linear_mpc_5000_step_loop",
+        "protocol": "reference examples/linear_mpc_parallel.py:86-100 "
+                    "(T=5, dt=0.001, 5000 receding-horizon LQT re-solves, "
+                    "whole loop one lax.scan); host-fetch sync "
+                    "(axon tunnel), 1 warmup + median of %d reps" % reps,
+        "n_steps": n_steps,
+    }
     for mode in ("par", "seq"):
         loop = jax.jit(
             lambda x, m=mode: lqt_mpc_loop(lqt, x, n_steps, mode=m)
         )
-        xs, us = loop(x0)  # warmup/compile
-        jax.block_until_ready(xs)
-        t0 = time.perf_counter()
-        xs, us = loop(x0)
-        jax.block_until_ready(xs)
-        dt = time.perf_counter() - t0
+        xs, us = sync(loop(x0))  # warmup/compile
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            xs, us = sync(loop(x0))
+            times.append(time.perf_counter() - t0)
+        dt = statistics.median(times)
+        result[mode] = {
+            "loop_s_median": dt,
+            "loop_s_mean": statistics.fmean(times),
+            "steps_per_sec": n_steps / dt,
+            "final_state_norm": float(jnp.linalg.norm(xs[-1])),
+        }
         print(
             f"{mode}: {dt:.3f}s for {n_steps} MPC steps "
             f"({n_steps/dt:.0f} steps/s); final |x| = {float(jnp.linalg.norm(xs[-1])):.2e}"
         )
+    result["par_speedup_vs_seq"] = (
+        result["seq"]["loop_s_median"] / result["par"]["loop_s_median"]
+    )
+    out = os.environ.get("IPOC_MPC_JSON", "")
+    if out:
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":
