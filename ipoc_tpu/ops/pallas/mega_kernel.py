@@ -1,0 +1,507 @@
+"""Resident k-iterations-per-launch Newton mega-kernel (packed stream).
+
+The packed stream (solvers/packed_stream.py) brought the per-iteration XLA
+glue onto dense vreg tiles, but each Newton iteration still costs ~3 Pallas
+launches (backward trial, forward trial, predictor transition) plus a
+``lax.while_loop`` sync — the dominant fixed cost once the math is
+vreg-packed (docs/PERFORMANCE.md roofline: ~16-20% of VPU peak,
+overhead-bound).  This kernel keeps EVERYTHING resident for ``k`` Newton
+iterations in ONE launch:
+
+* the whole lane state — trajectory ``xs``, controls ``u``/``u_prev``, the
+  accept/LM/convergence scalars — lives in VMEM scratch across iterations
+  (the (T, rows) arrays are DMA'd in from HBM once per k-block and written
+  back once);
+* each iteration replays the backward Riccati sweep, the forward trial
+  sweep, the accept/Levenberg-Marquardt glue, and the barrier
+  stage-transition logic of ``packed_lane_iter`` in-kernel, so the
+  per-iteration launch + sync overhead amortizes k-fold;
+* the predictor's double-rollout transition — previously an unconditional
+  third launch per iteration, though lanes roll stages on <5% of
+  iterations — executes under a dynamic ``pl.when(any(roll))`` guard and is
+  SKIPPED entirely on iterations where no lane in the chunk advances a
+  barrier stage.
+
+Per-lane semantics are those of ``packed_lane_iter``
+(solvers/packed_stream.py), which are those of ``flat_lane_iter``
+(solvers/ip_newton.py): same trial sequence, same accept/LM updates, same
+stage transitions and predictor candidates (pinned by
+tests/test_mega_kernel.py).  The reference has no batching at all (one
+solve per call, /root/reference/noc/par_interior_point_newton.py:228-254);
+this executor is TPU-native surface built for the streaming throughput
+path, anchored to the reference benchmark protocol
+(/root/reference/examples/cartpole_runtime.py:115-174).
+
+VMEM: the resident set is ~(2*T*nx + 3*T*nu + T*nx + T*ng) rows of
+(S, 128) f32 tiles (see :func:`_mega_rows`); at cartpole scale (T=100,
+nx=4, nu=1) that is ~8.2 MB at S=8 — so the mega path caps the sublane
+depth where the two-launch packed stream could run S=16/32 with more
+chunks per launch instead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ipoc_tpu.ops.pallas.fused_iter_kernel import (
+    _pack_consts,
+    _stage_bwd_fn,
+    _stage_fwd_fn,
+    _stage_transition_fn,
+    _term_fn,
+    _term_fwd_fn,
+    _lift,
+)
+from ipoc_tpu.ops.pallas.seq_newton_kernel import (
+    LANES,
+    _add_mm_sym,
+    _dot,
+    _gain_rhs,
+    _mm,
+    _mv,
+    _pivots_only,
+    _solve_track,
+    _transpose,
+)
+from ipoc_tpu.problem import OCP
+
+
+_MEGA_VMEM_BUDGET = 10 * 2 ** 20
+
+
+# Grid is (C,) — 1-arg index maps (the shared specs in fused_iter_kernel
+# assume the (C, Tb) grids of the streaming kernels).
+def _bcast1(rows, S):
+    return pl.BlockSpec((1, rows, S, LANES), lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _scal1(S):
+    return pl.BlockSpec((1, 1, S, LANES), lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _const1(rows, S):
+    return pl.BlockSpec((1, rows, S, LANES), lambda b: (0, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _mega_rows(T: int, nx: int, nu: int) -> int:
+    """Rows of (S, LANES) tiles resident in VMEM scratch: xs, u, u_prev,
+    tx, tu, xb, Kk plus the small carries/scalars."""
+    ng = (1 + nx) * nu
+    return T * (2 * nx + 3 * nu + nx + ng) + 4 * nx + nx * nx + 16
+
+
+def mega_fits(T: int, nx: int, nu: int, S: int, dtype) -> bool:
+    return (_mega_rows(T, nx, nu) * S * LANES * jnp.dtype(dtype).itemsize
+            <= _MEGA_VMEM_BUDGET)
+
+
+def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
+                 term_f, stage_tr, term_tr, n_counts):
+    """One batch chunk: k resident Newton iterations + stage transitions.
+
+    Ref order: inputs (act, x0, xT, cun, it, stage_it, rp, r_inc, bp, bp0,
+    done, xs[ANY], u[ANY], u_prev[ANY], consts...), outputs (xT, cun, it,
+    stage_it, rp, r_inc, bp, done, xs[ANY], u[ANY], u_prev[ANY],
+    steps[SMEM]), scratch (xs_v, u_v, up_v, tx_s, tu_s, xb_s, Kk_s, xT_v,
+    7 small scalar refs, steps_s, sems).
+    """
+    (n_cs_b, n_ct_b, n_cs_f, n_ct_f, n_cs_t, n_ct_t) = n_counts
+    (act_ref, x0_ref, xT_ref, cun_ref, it_ref, sit_ref, rp_ref, ri_ref,
+     bp_ref, bp0_ref, done_ref, xs_hbm, u_hbm, up_hbm) = refs[:14]
+    i = 14
+    cs_b = [r[0] for r in refs[i:i + n_cs_b]]; i += n_cs_b  # noqa: E702
+    ct_b = [r[0] for r in refs[i:i + n_ct_b]]; i += n_ct_b  # noqa: E702
+    cs_f = [r[0] for r in refs[i:i + n_cs_f]]; i += n_cs_f  # noqa: E702
+    ct_f = [r[0] for r in refs[i:i + n_ct_f]]; i += n_ct_f  # noqa: E702
+    cs_t = [r[0] for r in refs[i:i + n_cs_t]]; i += n_cs_t  # noqa: E702
+    ct_t = [r[0] for r in refs[i:i + n_ct_t]]; i += n_ct_t  # noqa: E702
+    (xT_o, cun_o, it_o, sit_o, rp_o, ri_o, bp_o, done_o,
+     xs_out, u_out, up_out, steps_o) = refs[i:i + 12]
+    (xs_v, u_v, up_v, tx_s, tu_s, xb_s, Kk_s, xT_v,
+     cun_s, rp_s, ri_s, bp_s, done_s, it_s, sit_s, steps_s,
+     sems) = refs[i + 12:]
+
+    c = pl.program_id(0)
+    dtype = xs_v.dtype
+    ng = (1 + nx) * nu
+
+    # --- stage the k-block's lane state into VMEM ---------------------------
+    d0 = pltpu.make_async_copy(xs_hbm.at[c], xs_v, sems.at[0])
+    d1 = pltpu.make_async_copy(u_hbm.at[c], u_v, sems.at[1])
+    d2 = pltpu.make_async_copy(up_hbm.at[c], up_v, sems.at[2])
+    d0.start(); d1.start(); d2.start()  # noqa: E702
+    xT_v[:] = xT_ref[0]
+    cun_s[:] = cun_ref[0]
+    rp_s[:] = rp_ref[0]
+    ri_s[:] = ri_ref[0]
+    bp_s[:] = bp_ref[0]
+    done_s[:] = done_ref[0]
+    it_s[:] = it_ref[0]
+    sit_s[:] = sit_ref[0]
+    steps_s[0] = 0
+    act = act_ref[0] > 0          # (1, S, L)
+    x0 = x0_ref[0]                # (nx, S, L)
+    bp0 = bp0_ref[0]              # (1, S, L)
+    d0.wait(); d1.wait(); d2.wait()  # noqa: E702
+
+    stage_reg = jnp.asarray(
+        cfg.reg_init if cfg.reg_stage_init is None else cfg.reg_stage_init,
+        dtype)
+    gamma = jnp.asarray(1.0 / cfg.bp_decay, dtype)
+
+    def iteration(_i, _carry):
+        adv = jnp.logical_and(act, done_s[:] == 0)   # (1, S, L)
+
+        @pl.when(jnp.any(adv))
+        def _():
+            steps_s[0] = steps_s[0] + 1
+            bp = bp_s[0]                              # (S, L)
+            if cfg.scale_reg_by_grad:
+                reg = rp_s[0] * jnp.maximum(
+                    cun_s[0], jnp.asarray(cfg.reg_scale_floor, dtype))
+            else:
+                reg = rp_s[0]
+
+            # --- backward Riccati sweep (same math/order as
+            # _fused_bwd_kernel, time via dynamic VMEM slices) -------------
+            lamT, VT, cT = term_b(xT_v[:], *ct_b)
+
+            def bwd_step(tr, carry):
+                Vxx, Vx, lam, dv, piv, cost, hu = carry
+                t = T - 1 - tr
+                x = xs_v[pl.ds(t, 1)][0]
+                u = u_v[pl.ds(t, 1)][0]
+                ru, Q, R, M, fx, fu, lam_new, cst = stage_b(
+                    x, u, bp, lam, *cs_b)
+                R = jnp.stack(
+                    [R[r] + reg if r % (nu + 1) == 0 else R[r]
+                     for r in range(nu * nu)],
+                    axis=0,
+                )
+                fxT = _transpose(fx, nx, nx)
+                fuT = _transpose(fu, nx, nu)
+                Vfx = _mm(Vxx, fx, nx, nx, nx)
+                Vfu = _mm(Vxx, fu, nx, nx, nu)
+                Qxx = _add_mm_sym(Q, fxT, Vfx, nx, nx)
+                Quu = _add_mm_sym(R, fuT, Vfu, nu, nx)
+                Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
+                Qu = ru + _mv(fuT, Vx, nu, nx)
+                Qx = _mv(fxT, Vx, nx, nx)
+                rhs = _gain_rhs(Qu, _transpose(Qxu, nx, nu), nx, nu)
+                sol, piv_t = _solve_track(Quu, rhs, nu, 1 + nx)
+                kg = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)],
+                                axis=0)
+                Kg = -jnp.stack(
+                    [sol[i_ * (1 + nx) + 1 + j]
+                     for i_ in range(nu) for j in range(nx)],
+                    axis=0,
+                )
+                piv_t = jnp.minimum(piv_t, _pivots_only(R, nu))
+                Kk_s[pl.ds(t, 1)] = jnp.concatenate([kg, Kg], axis=0)[None]
+                Vx_n = Qx + _mv(Qxu, kg, nx, nu)
+                Vxx_n = _add_mm_sym(Qxx, Qxu, Kg, nx, nu)
+                dv_n = dv + (
+                    _dot(kg, Qu, nu)
+                    + 0.5 * _dot(kg, _mv(Quu, kg, nu, nu), nu)
+                )
+                return (Vxx_n, Vx_n, lam_new, dv_n,
+                        jnp.minimum(piv, piv_t), cost + cst,
+                        jnp.maximum(hu, jnp.max(jnp.abs(ru), axis=0)))
+
+            zs = jnp.zeros((LANES,), dtype)  # dummy only for clarity
+            del zs
+            init = (
+                VT,
+                jnp.zeros((nx,) + VT.shape[1:], dtype),
+                lamT,
+                jnp.zeros(VT.shape[1:], dtype),
+                jnp.full(VT.shape[1:], jnp.inf, dtype),
+                cT,
+                jnp.zeros(VT.shape[1:], dtype),
+            )
+            (_, _, _, dv, piv, cost, hu) = lax.fori_loop(
+                0, T, bwd_step, init)
+
+            # --- forward trial sweep (== _fused_fwd_kernel) --------------
+            def fwd_step(t, carry):
+                dx, nc, mc, cun_new = carry
+                x = xs_v[pl.ds(t, 1)][0]
+                u = u_v[pl.ds(t, 1)][0]
+                Kk = Kk_s[pl.ds(t, 1)][0]
+                tu, tx, dxn, cst, cmax, cusq = stage_f(
+                    x, u, bp, dx, Kk, *cs_f)
+                tu_s[pl.ds(t, 1)] = tu[None]
+                tx_s[pl.ds(t, 1)] = tx[None]
+                return dxn, nc + cst, jnp.maximum(mc, cmax), cun_new + cusq
+
+            finit = (
+                jnp.zeros((nx,) + cT.shape, dtype),
+                jnp.zeros(cT.shape, dtype),
+                jnp.full(cT.shape, -jnp.inf, dtype),
+                jnp.zeros(cT.shape, dtype),
+            )
+            dxT, nc, mc, cun_new = lax.fori_loop(0, T, fwd_step, finit)
+            txT, cTn = term_f(xT_v[:], dxT, *ct_f)
+            nc = nc + cTn
+
+            # --- accept / LM glue (== packed_lane_iter) ------------------
+            ok = jnp.isfinite(piv) & (piv > 0) & jnp.isfinite(dv)
+            new_cost = jnp.where(mc <= 0.0, nc, jnp.asarray(jnp.inf, dtype))
+            rho = (new_cost - cost) / dv
+            accept = jnp.logical_and(rho > 0.0, ok)[None]     # (1, S, L)
+            stalled = jnp.logical_and(
+                jnp.logical_not(accept), rp_s[:] >= cfg.reg_max
+            ) & bool(cfg.stall_exit)
+            # Marquardt-Nielsen update (solvers/globalization.py lm_update)
+            rp_new = jnp.where(
+                accept,
+                rp_s[:] * jnp.maximum(
+                    1.0 / 3.0, 1.0 - (2.0 * rho[None] - 1.0) ** 3),
+                rp_s[:] * ri_s[:],
+            )
+            ri_new = jnp.where(accept, 2.0, 2.0 * ri_s[:]).astype(dtype)
+            rp_new = jnp.clip(rp_new, cfg.reg_min, cfg.reg_max).astype(dtype)
+            rp_s[:] = jnp.where(adv, rp_new, rp_s[:])
+            ri_s[:] = jnp.where(adv, ri_new, ri_s[:])
+            accept = jnp.logical_and(accept, adv)
+
+            am = accept[0][None, None]                        # (1,1,S,L)
+            xs_v[:] = jnp.where(am, tx_s[:], xs_v[:])
+            u_v[:] = jnp.where(am, tu_s[:], u_v[:])
+            xT_v[:] = jnp.where(accept[0][None], txT, xT_v[:])
+            cun_s[:] = jnp.where(
+                accept, jnp.sqrt(cun_new)[None].astype(dtype), cun_s[:])
+
+            # --- convergence / stage bookkeeping -------------------------
+            tol_s = jnp.maximum(jnp.asarray(cfg.tol, dtype),
+                                cfg.stage_tol_scale * bp_s[:])
+            conv = hu[None] < tol_s
+            if cfg.pred_floor > 0.0:
+                conv = jnp.logical_or(
+                    conv,
+                    jnp.logical_and(
+                        ok, jnp.abs(dv) < cfg.pred_floor * (1.0 + jnp.abs(cost))
+                    )[None],
+                )
+            bad = jnp.logical_or(
+                jnp.logical_not(jnp.isfinite(hu)),
+                jnp.logical_not(jnp.isfinite(cost)),
+            )[None]
+            bad = jnp.logical_and(bad, adv)
+            advance = jnp.logical_or(
+                jnp.logical_or(conv, stalled),
+                sit_s[:] + 1 > cfg.max_newton_iters,
+            )
+            advance = jnp.logical_and(advance, jnp.logical_not(bad))
+            advance = jnp.logical_and(advance, adv)
+            bp_next = bp_s[:] / cfg.bp_decay
+            done_now = jnp.logical_or(
+                bad, jnp.logical_and(advance, bp_next <= cfg.bp_min)
+            )
+            roll = jnp.logical_and(advance, jnp.logical_not(done_now))
+
+            # --- barrier stage transition: double-rollout predictor,
+            # SKIPPED when no lane in the chunk rolls this iteration ------
+            @pl.when(jnp.any(roll))
+            def _():
+                bpn = bp_next[0]                              # (S, L)
+                rb = roll[0][None, None]                      # (1,1,S,L)
+                # u_prev <- u (post-accept) on rolling lanes, BEFORE the
+                # predictor may overwrite u (packed_lane_iter order).
+                up_old_free = None
+                del up_old_free
+
+                def tr_step(t, carry):
+                    xa, xb, ca, cb, cua, cub = carry
+                    u_t = u_v[pl.ds(t, 1)][0]
+                    if cfg.stage_predictor:
+                        up_t = u_t + gamma * (u_t - up_v[pl.ds(t, 1)][0])
+                    else:
+                        up_t = u_t
+                    tu_s[pl.ds(t, 1)] = up_t[None]
+                    tx_s[pl.ds(t, 1)] = xa[None]
+                    xb_s[pl.ds(t, 1)] = xb[None]
+                    xan, xbn, csta, cstb, cua_i, cub_i = stage_tr(
+                        xa, xb, u_t, up_t, bpn, *cs_t)
+                    return (xan, xbn, ca + csta, cb + cstb,
+                            cua + cua_i, cub + cub_i)
+
+                tinit = (x0, x0,
+                         jnp.zeros(cT.shape, dtype),
+                         jnp.zeros(cT.shape, dtype),
+                         jnp.zeros(cT.shape, dtype),
+                         jnp.zeros(cT.shape, dtype))
+                xaT, xbT, ca, cb, cua, cub = lax.fori_loop(
+                    0, T, tr_step, tinit)
+                ca = ca + term_tr(xaT, *ct_t)
+                cb = cb + term_tr(xbT, *ct_t)
+                if cfg.stage_predictor:
+                    on_path = bp_s[:] < bp0
+                    take = jnp.logical_and(
+                        roll, jnp.logical_and(on_path, (cb < ca)[None]))
+                else:
+                    take = jnp.zeros_like(roll)
+                tb4 = take[0][None, None]
+                up_v[:] = jnp.where(rb, u_v[:], up_v[:])
+                xs_v[:] = jnp.where(
+                    tb4, xb_s[:], jnp.where(rb, tx_s[:], xs_v[:]))
+                u_v[:] = jnp.where(tb4, tu_s[:], u_v[:])
+                xT_v[:] = jnp.where(
+                    take[0][None], xbT, jnp.where(roll[0][None], xaT,
+                                                  xT_v[:]))
+                cun_s[:] = jnp.where(
+                    take, jnp.sqrt(cub)[None].astype(dtype),
+                    jnp.where(roll, jnp.sqrt(cua)[None].astype(dtype),
+                              cun_s[:]))
+
+            bp_s[:] = jnp.where(advance, bp_next, bp_s[:])
+            rp_s[:] = jnp.where(advance, stage_reg, rp_s[:])
+            ri_s[:] = jnp.where(
+                advance, jnp.asarray(cfg.reg_inc_init, dtype), ri_s[:])
+            tick = adv.astype(jnp.int32)
+            sit_s[:] = jnp.where(advance, jnp.zeros_like(sit_s[:]),
+                                 sit_s[:] + tick)
+            it_s[:] = it_s[:] + tick
+            done_s[:] = jnp.where(done_now, jnp.ones_like(done_s[:]),
+                                  done_s[:])
+
+        return _carry
+
+    lax.fori_loop(0, k, iteration, jnp.asarray(0, jnp.int32))
+
+    # --- write back --------------------------------------------------------
+    xT_o[0] = xT_v[:]
+    cun_o[0] = cun_s[:]
+    it_o[0] = it_s[:]
+    sit_o[0] = sit_s[:]
+    rp_o[0] = rp_s[:]
+    ri_o[0] = ri_s[:]
+    bp_o[0] = bp_s[:]
+    done_o[0] = done_s[:]
+    steps_o[0, 0] = steps_s[0]
+    e0 = pltpu.make_async_copy(xs_v, xs_out.at[c], sems.at[0])
+    e1 = pltpu.make_async_copy(u_v, u_out.at[c], sems.at[1])
+    e2 = pltpu.make_async_copy(up_v, up_out.at[c], sems.at[2])
+    e0.start(); e1.start(); e2.start()  # noqa: E702
+    e0.wait(); e1.wait(); e2.wait()  # noqa: E702
+
+
+def mega_k_iterations(ocp: OCP, xs_p, xT_p, u_p, up_p, cun_p, it_p, sit_p,
+                      rp_p, ri_p, bp_p, bp0_p, done_p, x0_p, active_p,
+                      cfg, k: int, interpret: bool = False):
+    """Run ``k`` resident packed Newton iterations in ONE Pallas launch.
+
+    All arrays are in the packed stream layout (solvers/packed_stream.py
+    ``PackedLane``): stage arrays (C, T, rows, S, LANES), per-lane scalars
+    (C, S, LANES) — scalars are lifted to (C, 1, S, LANES) blocks
+    internally.  ``done_p``/``active_p`` are bool.  Returns the updated
+    state tuple ``(xs, xT, u, u_prev, cun, it, stage_it, rp, r_inc, bp,
+    done, steps)`` where ``steps`` is the number of iterations actually
+    executed (max over chunks == the stream's inner while-loop count).
+    """
+    C, T, nx, S, L = xs_p.shape
+    assert L == LANES
+    nu = u_p.shape[2]
+    dtype = u_p.dtype
+    ng = (1 + nx) * nu
+
+    sds = lambda shape: jax.ShapeDtypeStruct(shape, dtype)  # noqa: E731
+    stage_b, cs_b = _lift(
+        _stage_bwd_fn(ocp, nx, nu), sds((nx,)), sds((nu,)), sds(()),
+        sds((nx,)),
+    )
+    term_b, ct_b = _lift(_term_fn(ocp, nx), sds((nx,)))
+    stage_f, cs_f = _lift(
+        _stage_fwd_fn(ocp, nx, nu, with_cu=True), sds((nx,)), sds((nu,)),
+        sds(()), sds((nx,)), sds((ng,)),
+    )
+    term_f, ct_f = _lift(_term_fwd_fn(ocp), sds((nx,)), sds((nx,)))
+    stage_tr, cs_t = _lift(
+        _stage_transition_fn(ocp, with_cu=True), sds((nx,)), sds((nx,)),
+        sds((nu,)), sds((nu,)), sds(()),
+    )
+    term_tr, ct_t = _lift(ocp.final_cost, sds((nx,)))
+
+    kernel = functools.partial(
+        _mega_kernel, nx=nx, nu=nu, T=T, k=k, cfg=cfg,
+        stage_b=stage_b, term_b=term_b, stage_f=stage_f, term_f=term_f,
+        stage_tr=stage_tr, term_tr=term_tr,
+        n_counts=(len(cs_b), len(ct_b), len(cs_f), len(ct_f),
+                  len(cs_t), len(ct_t)),
+    )
+
+    lift = lambda s: s[:, None]      # (C,S,L) -> (C,1,S,L)  # noqa: E731
+    i32 = lambda b: b.astype(jnp.int32)  # noqa: E731
+    consts = (list(cs_b) + list(ct_b) + list(cs_f) + list(ct_f)
+              + list(cs_t) + list(ct_t))
+
+    scal = lambda: _scal1(S)  # noqa: E731
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(C,),
+            out_shape=(
+                jax.ShapeDtypeStruct((C, nx, S, LANES), dtype),   # xT
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),    # cun
+                jax.ShapeDtypeStruct((C, 1, S, LANES), jnp.int32),  # it
+                jax.ShapeDtypeStruct((C, 1, S, LANES), jnp.int32),  # sit
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),    # rp
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),    # r_inc
+                jax.ShapeDtypeStruct((C, 1, S, LANES), dtype),    # bp
+                jax.ShapeDtypeStruct((C, 1, S, LANES), jnp.int32),  # done
+                jax.ShapeDtypeStruct((C, T, nx, S, LANES), dtype),  # xs
+                jax.ShapeDtypeStruct((C, T, nu, S, LANES), dtype),  # u
+                jax.ShapeDtypeStruct((C, T, nu, S, LANES), dtype),  # u_prev
+                jax.ShapeDtypeStruct((C, 1), jnp.int32),          # steps
+            ),
+            in_specs=[
+                scal(), _bcast1(nx, S), _bcast1(nx, S), scal(),
+                scal(), scal(), scal(), scal(), scal(), scal(), scal(),
+                any_spec, any_spec, any_spec,
+            ] + [_const1(cst.size, S) for cst in consts],
+            out_specs=(
+                _bcast1(nx, S), scal(), scal(), scal(), scal(),
+                scal(), scal(), scal(), any_spec, any_spec, any_spec,
+                pl.BlockSpec((1, 1), lambda c: (c, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((T, nx, S, LANES), dtype),   # xs_v
+                pltpu.VMEM((T, nu, S, LANES), dtype),   # u_v
+                pltpu.VMEM((T, nu, S, LANES), dtype),   # up_v
+                pltpu.VMEM((T, nx, S, LANES), dtype),   # tx_s
+                pltpu.VMEM((T, nu, S, LANES), dtype),   # tu_s
+                pltpu.VMEM((T, nx, S, LANES), dtype),   # xb_s
+                pltpu.VMEM((T, ng, S, LANES), dtype),   # Kk_s
+                pltpu.VMEM((nx, S, LANES), dtype),      # xT_v
+                pltpu.VMEM((1, S, LANES), dtype),       # cun_s
+                pltpu.VMEM((1, S, LANES), dtype),       # rp_s
+                pltpu.VMEM((1, S, LANES), dtype),       # ri_s
+                pltpu.VMEM((1, S, LANES), dtype),       # bp_s
+                pltpu.VMEM((1, S, LANES), jnp.int32),   # done_s
+                pltpu.VMEM((1, S, LANES), jnp.int32),   # it_s
+                pltpu.VMEM((1, S, LANES), jnp.int32),   # sit_s
+                pltpu.SMEM((1,), jnp.int32),            # steps_s
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+            interpret=interpret,
+        )(lift(i32(active_p)), x0_p, xT_p, lift(cun_p), lift(it_p),
+          lift(sit_p), lift(rp_p), lift(ri_p), lift(bp_p), lift(bp0_p),
+          lift(i32(done_p)), xs_p, u_p, up_p, *_pack_consts(consts, S))
+
+    (xT_n, cun_n, it_n, sit_n, rp_n, ri_n, bp_n, done_n, xs_n, u_n,
+     up_n, steps) = outs
+    drop = lambda s: s[:, 0]  # noqa: E731
+    return (xs_n, xT_n, u_n, up_n, drop(cun_n), drop(it_n), drop(sit_n),
+            drop(rp_n), drop(ri_n), drop(bp_n), drop(done_n) > 0,
+            jnp.max(steps))

@@ -340,6 +340,8 @@ def solve_stream_packed(
     from ipoc_tpu.solvers.ip_newton import flat_total_cap
     from ipoc_tpu.solvers.stream import StreamSolution
 
+    import os
+
     N, T, nu = controls.shape
     nx = initial_states.shape[-1]
     B = min(lanes, N)
@@ -347,6 +349,24 @@ def solve_stream_packed(
     S = _stream_sublanes(B)
     if S < 8:
         raise ValueError("packed stream needs >= 8 sublanes of lanes")
+    # Resident mega-kernel (ops/pallas/mega_kernel.py): k Newton
+    # iterations + stage transitions per launch, lane state in VMEM for
+    # the whole k-block.  Trace-time opt-in (IPOC_MEGA_KERNEL=1);
+    # Newton/fused only, and the resident set must fit VMEM (the mega
+    # path caps S — more chunks per launch — where the two-launch path
+    # would pick S=16/32).
+    use_mega = (
+        os.environ.get("IPOC_MEGA_KERNEL", "0") == "1"
+        and cfg.newton_impl == "fused"
+    )
+    if use_mega:
+        from ipoc_tpu.ops.pallas.mega_kernel import mega_fits
+
+        while S > 8 and not mega_fits(T, nx, nu, S, dtype):
+            S //= 2
+        if not mega_fits(T, nx, nu, S, dtype):
+            use_mega = False
+            S = _stream_sublanes(B)
     if cfg.newton_impl == "ddp":
         # The merged DDP kernel's gains ring must fit VMEM: cap the
         # sublane depth to the largest fitting S (more batch chunks, same
@@ -387,27 +407,44 @@ def solve_stream_packed(
     max_outer = flat_total_cap(cfg) * (gens + 1) + N + gens + 1
     active0 = _pack_scal(jnp.ones((B,), bool), Bp, C, S, LANES)
 
+    k_mega = (K // unroll) * unroll
+
     def outer_body(carry):
         lane, sid, active, pool_next, out_u, out_it, t, r = carry
 
-        def inner_cond(c):
-            ln, s = c
-            return jnp.logical_and(
-                s + unroll <= K,
-                jnp.any(jnp.logical_and(active, jnp.logical_not(ln.done))),
+        if use_mega:
+            from ipoc_tpu.ops.pallas.mega_kernel import mega_k_iterations
+
+            (xs, xT, u, up, cun, it, sit, rp, ri, bp, done,
+             dt) = mega_k_iterations(
+                ocp, lane.xs, lane.xT, lane.u, lane.u_prev, lane.cun,
+                lane.it, lane.stage_it, lane.rp, lane.r_inc, lane.bp,
+                lane.bp0, lane.done, lane.x0, active, cfg, k_mega,
+                interpret=interpret)
+            lane = PackedLane(
+                x0=lane.x0, xs=xs, xT=xT, u=u, u_prev=up, cun=cun,
+                it=it, stage_it=sit, rp=rp, r_inc=ri, bp=bp,
+                bp0=lane.bp0, done=done)
+        else:
+            def inner_cond(c):
+                ln, s = c
+                return jnp.logical_and(
+                    s + unroll <= K,
+                    jnp.any(jnp.logical_and(active,
+                                            jnp.logical_not(ln.done))),
+                )
+
+            def inner_body(c):
+                ln, s = c
+                for _ in range(unroll):
+                    adv = jnp.logical_and(active, jnp.logical_not(ln.done))
+                    ln = packed_lane_iter(ocp, ln, cfg, adv,
+                                          interpret=interpret)
+                return ln, s + unroll
+
+            lane, dt = lax.while_loop(
+                inner_cond, inner_body, (lane, jnp.asarray(0, jnp.int32))
             )
-
-        def inner_body(c):
-            ln, s = c
-            for _ in range(unroll):
-                adv = jnp.logical_and(active, jnp.logical_not(ln.done))
-                ln = packed_lane_iter(ocp, ln, cfg, adv,
-                                      interpret=interpret)
-            return ln, s + unroll
-
-        lane, dt = lax.while_loop(
-            inner_cond, inner_body, (lane, jnp.asarray(0, jnp.int32))
-        )
 
         fin_p = jnp.logical_and(lane.done, active)
         fin = _unpack_scal(fin_p, B)

@@ -1,0 +1,122 @@
+"""Resident mega-kernel parity: k in-kernel iterations == k packed steps.
+
+The mega-kernel (ops/pallas/mega_kernel.py) replays ``packed_lane_iter``'s
+per-iteration semantics — backward/forward trial, accept/LM glue, stage
+transitions with the predictor — entirely in-kernel for k iterations.
+These tests pin it (in Pallas interpreter mode) against the two-launch
+packed composition stepping the same lanes, and the mega stream end-to-end
+against the unpacked stream.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import ipoc_tpu
+from ipoc_tpu.models import pendulum
+from ipoc_tpu.ops.pallas import set_pallas_scans
+from ipoc_tpu.ops.pallas.mega_kernel import mega_k_iterations
+from ipoc_tpu.solvers.batched import make_batch
+from ipoc_tpu.solvers.packed_stream import (
+    _unpack_scal,
+    packed_lane_iter,
+)
+from ipoc_tpu.ops.pallas.seq_newton_kernel import _unpack_s
+
+from tests.test_packed_stream import _packed_init, _setup
+
+B = 1024
+T = 6
+S = 8
+
+
+@pytest.fixture(autouse=True)
+def _restore_gate():
+    yield
+    set_pallas_scans("auto")
+
+
+@pytest.mark.parametrize("predictor", [True, False])
+def test_mega_matches_packed_iters(predictor):
+    """k=4 resident iterations == 4 packed_lane_iter steps (forced stage
+    transitions via a tiny per-stage cap, with and without predictor)."""
+    cfg = ipoc_tpu.BATCH_CONFIG.replace(
+        max_newton_iters=2, stage_predictor=predictor
+    )
+    ocp, u0, x0b = _setup(cfg)
+
+    set_pallas_scans("on")
+    with pltpu.force_tpu_interpret_mode():
+        lane0 = _packed_init(ocp, u0, x0b, cfg)
+        active = jnp.ones_like(lane0.done)
+
+        ref = lane0
+        step = jax.jit(lambda ln: packed_lane_iter(
+            ocp, ln, cfg, jnp.logical_and(active, jnp.logical_not(ln.done)),
+            interpret=True))
+        for _ in range(4):
+            ref = step(ref)
+
+        (xs, xT, u, up, cun, it, sit, rp, ri, bp, done,
+         steps) = jax.jit(lambda ln: mega_k_iterations(
+            ocp, ln.xs, ln.xT, ln.u, ln.u_prev, ln.cun, ln.it,
+            ln.stage_it, ln.rp, ln.r_inc, ln.bp, ln.bp0, ln.done,
+            ln.x0, active, cfg, 4, interpret=True))(lane0)
+
+    assert int(steps) == 4
+    np.testing.assert_allclose(np.asarray(_unpack_s(u, B, (1,))),
+                               np.asarray(_unpack_s(ref.u, B, (1,))),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(_unpack_s(xs, B, (2,))),
+                               np.asarray(_unpack_s(ref.xs, B, (2,))),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(_unpack_scal(it, B)),
+                                  np.asarray(_unpack_scal(ref.it, B)))
+    np.testing.assert_array_equal(np.asarray(_unpack_scal(sit, B)),
+                                  np.asarray(_unpack_scal(ref.stage_it, B)))
+    np.testing.assert_allclose(np.asarray(_unpack_scal(bp, B)),
+                               np.asarray(_unpack_scal(ref.bp, B)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(_unpack_scal(rp, B)),
+                               np.asarray(_unpack_scal(ref.rp, B)),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(_unpack_scal(cun, B)),
+                               np.asarray(_unpack_scal(ref.cun, B)),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(_unpack_scal(done, B)),
+                                  np.asarray(_unpack_scal(ref.done, B)))
+
+
+@pytest.mark.slow
+def test_mega_stream_end_to_end():
+    """solve_stream_packed with IPOC_MEGA_KERNEL=1 == the unpacked stream
+    on a short barrier schedule (same controls and iteration counts)."""
+    from ipoc_tpu.solvers.packed_stream import solve_stream_packed
+    from ipoc_tpu.solvers.stream import solve_stream
+
+    cfg = ipoc_tpu.BATCH_CONFIG.replace(
+        max_newton_iters=8, bp_init=0.1, bp_min=0.021
+    )
+    ocp, u0, x0b = _setup(cfg)
+    N = 2 * B
+    uN = jnp.tile(u0, (2, 1, 1))
+    xN = jnp.tile(x0b, (2, 1))
+
+    ref = solve_stream(ocp, uN, xN, cfg, lanes=B, refill_every=4)
+
+    set_pallas_scans("on")
+    os.environ["IPOC_MEGA_KERNEL"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = solve_stream_packed(ocp, uN, xN, cfg, lanes=B,
+                                      refill_every=4, interpret=True)
+    finally:
+        os.environ.pop("IPOC_MEGA_KERNEL", None)
+    np.testing.assert_allclose(np.asarray(got.controls),
+                               np.asarray(ref.controls), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(got.iterations),
+                                  np.asarray(ref.iterations))
