@@ -296,7 +296,13 @@ def packed_stream_eligible(cfg: SolverConfig, dtype, nx: int,
         return False
     S = _stream_sublanes(resident)
     if S < 8:
-        return False
+        # IPOC_PACKED_FORCE=1 runs the packed layout at S=8 with padded
+        # (inactive) lanes — wasteful in production, but it lets the
+        # multi-device dryrun/tests exercise the PRODUCTION packed path
+        # on tiny shapes (VERDICT r3 #3).
+        if os.environ.get("IPOC_PACKED_FORCE", "0") != "1":
+            return False
+        S = 8
     if cfg.newton_impl == "ddp":
         # Packed DDP (merged kernel + in-kernel ||cu||): hardware-proven
         # r3 at B=2048/S=16 — 132.7k single-grid solves/s vs 105.2k
@@ -348,7 +354,10 @@ def solve_stream_packed(
     dtype = controls.dtype
     S = _stream_sublanes(B)
     if S < 8:
-        raise ValueError("packed stream needs >= 8 sublanes of lanes")
+        if os.environ.get("IPOC_PACKED_FORCE", "0") == "1":
+            S = 8  # padded inactive lanes (dryrun/test shapes)
+        else:
+            raise ValueError("packed stream needs >= 8 sublanes of lanes")
     # Resident mega-kernel (ops/pallas/mega_kernel.py): k Newton
     # iterations + stage transitions per launch, lane state in VMEM for
     # the whole k-block.  Trace-time opt-in (IPOC_MEGA_KERNEL=1);
