@@ -72,7 +72,7 @@ from ipoc_tpu.ops.pallas.seq_newton_kernel import (
 from ipoc_tpu.problem import OCP
 
 
-_MEGA_VMEM_BUDGET = 10 * 2 ** 20
+_MEGA_VMEM_BUDGET = int(13.6 * 2 ** 20)
 
 
 # Grid is (C,) — 1-arg index maps (the shared specs in fused_iter_kernel
@@ -94,9 +94,12 @@ def _const1(rows, S):
 
 def _mega_rows(T: int, nx: int, nu: int) -> int:
     """Rows of (S, LANES) tiles resident in VMEM scratch: xs, u, u_prev,
-    tx, tu, xb, Kk plus the small carries/scalars."""
+    tx, tu, Kk plus the small carries/scalars.  The stage-transition
+    phase's candidate-b trajectory and predicted controls are parked in
+    the (then-dead) Kk gains ring — ``ng = (1+nx)*nu >= nx + nu`` always —
+    so they cost no extra rows."""
     ng = (1 + nx) * nu
-    return T * (2 * nx + 3 * nu + nx + ng) + 4 * nx + nx * nx + 16
+    return T * (2 * nx + 2 * nu + nu + ng) + 4 * nx + nx * nx + 16
 
 
 def mega_fits(T: int, nx: int, nu: int, S: int, dtype) -> bool:
@@ -105,13 +108,13 @@ def mega_fits(T: int, nx: int, nu: int, S: int, dtype) -> bool:
 
 
 def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
-                 term_f, stage_tr, term_tr, n_counts):
+                 term_f, stage_tr, term_tr, n_counts, tb=1):
     """One batch chunk: k resident Newton iterations + stage transitions.
 
     Ref order: inputs (act, x0, xT, cun, it, stage_it, rp, r_inc, bp, bp0,
     done, xs[ANY], u[ANY], u_prev[ANY], consts...), outputs (xT, cun, it,
     stage_it, rp, r_inc, bp, done, xs[ANY], u[ANY], u_prev[ANY],
-    steps[SMEM]), scratch (xs_v, u_v, up_v, tx_s, tu_s, xb_s, Kk_s, xT_v,
+    steps[SMEM]), scratch (xs_v, u_v, up_v, tx_s, tu_s, Kk_s, xT_v,
     7 small scalar refs, steps_s, sems).
     """
     (n_cs_b, n_ct_b, n_cs_f, n_ct_f, n_cs_t, n_ct_t) = n_counts
@@ -126,7 +129,7 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
     ct_t = [r[0] for r in refs[i:i + n_ct_t]]; i += n_ct_t  # noqa: E702
     (xT_o, cun_o, it_o, sit_o, rp_o, ri_o, bp_o, done_o,
      xs_out, u_out, up_out, steps_o) = refs[i:i + 12]
-    (xs_v, u_v, up_v, tx_s, tu_s, xb_s, Kk_s, xT_v,
+    (xs_v, u_v, up_v, tx_s, tu_s, Kk_s, xT_v,
      cun_s, rp_s, ri_s, bp_s, done_s, it_s, sit_s, steps_s,
      sems) = refs[i + 12:]
 
@@ -175,9 +178,19 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
             # _fused_bwd_kernel, time via dynamic VMEM slices) -------------
             lamT, VT, cT = term_b(xT_v[:], *ct_b)
 
-            def bwd_step(tr, carry):
+            Tb = T // tb
+
+            def bwd_block(tr, carry):
+                # tb stages per loop iteration (static offsets off a
+                # dynamic base — the same time-blocking lever as the
+                # two-launch kernels' fat grid steps).
+                base = (Tb - 1 - tr) * tb
+                for j in reversed(range(tb)):
+                    carry = bwd_step(base + j, carry)
+                return carry
+
+            def bwd_step(t, carry):
                 Vxx, Vx, lam, dv, piv, cost, hu = carry
-                t = T - 1 - tr
                 x = xs_v[pl.ds(t, 1)][0]
                 u = u_v[pl.ds(t, 1)][0]
                 ru, Q, R, M, fx, fu, lam_new, cst = stage_b(
@@ -217,8 +230,6 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
                         jnp.minimum(piv, piv_t), cost + cst,
                         jnp.maximum(hu, jnp.max(jnp.abs(ru), axis=0)))
 
-            zs = jnp.zeros((LANES,), dtype)  # dummy only for clarity
-            del zs
             init = (
                 VT,
                 jnp.zeros((nx,) + VT.shape[1:], dtype),
@@ -229,7 +240,7 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
                 jnp.zeros(VT.shape[1:], dtype),
             )
             (_, _, _, dv, piv, cost, hu) = lax.fori_loop(
-                0, T, bwd_step, init)
+                0, Tb, bwd_block, init)
 
             # --- forward trial sweep (== _fused_fwd_kernel) --------------
             def fwd_step(t, carry):
@@ -243,13 +254,19 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
                 tx_s[pl.ds(t, 1)] = tx[None]
                 return dxn, nc + cst, jnp.maximum(mc, cmax), cun_new + cusq
 
+            def fwd_block(tr, carry):
+                base = tr * tb
+                for j in range(tb):
+                    carry = fwd_step(base + j, carry)
+                return carry
+
             finit = (
                 jnp.zeros((nx,) + cT.shape, dtype),
                 jnp.zeros(cT.shape, dtype),
                 jnp.full(cT.shape, -jnp.inf, dtype),
                 jnp.zeros(cT.shape, dtype),
             )
-            dxT, nc, mc, cun_new = lax.fori_loop(0, T, fwd_step, finit)
+            dxT, nc, mc, cun_new = lax.fori_loop(0, Tb, fwd_block, finit)
             txT, cTn = term_f(xT_v[:], dxT, *ct_f)
             nc = nc + cTn
 
@@ -315,25 +332,30 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
             def _():
                 bpn = bp_next[0]                              # (S, L)
                 rb = roll[0][None, None]                      # (1,1,S,L)
-                # u_prev <- u (post-accept) on rolling lanes, BEFORE the
-                # predictor may overwrite u (packed_lane_iter order).
-                up_old_free = None
-                del up_old_free
 
                 def tr_step(t, carry):
+                    # candidate-a states stash in tx_s; candidate-b states
+                    # and the predicted controls park in the dead Kk ring
+                    # (rows [0:nx] / [nx:nx+nu]) — no extra VMEM.
                     xa, xb, ca, cb, cua, cub = carry
                     u_t = u_v[pl.ds(t, 1)][0]
                     if cfg.stage_predictor:
                         up_t = u_t + gamma * (u_t - up_v[pl.ds(t, 1)][0])
                     else:
                         up_t = u_t
-                    tu_s[pl.ds(t, 1)] = up_t[None]
+                    Kk_s[pl.ds(t, 1), pl.ds(nx, nu)] = up_t[None]
                     tx_s[pl.ds(t, 1)] = xa[None]
-                    xb_s[pl.ds(t, 1)] = xb[None]
+                    Kk_s[pl.ds(t, 1), pl.ds(0, nx)] = xb[None]
                     xan, xbn, csta, cstb, cua_i, cub_i = stage_tr(
                         xa, xb, u_t, up_t, bpn, *cs_t)
                     return (xan, xbn, ca + csta, cb + cstb,
                             cua + cua_i, cub + cub_i)
+
+                def tr_block(trb, carry):
+                    base = trb * tb
+                    for j in range(tb):
+                        carry = tr_step(base + j, carry)
+                    return carry
 
                 tinit = (x0, x0,
                          jnp.zeros(cT.shape, dtype),
@@ -341,7 +363,7 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
                          jnp.zeros(cT.shape, dtype),
                          jnp.zeros(cT.shape, dtype))
                 xaT, xbT, ca, cb, cua, cub = lax.fori_loop(
-                    0, T, tr_step, tinit)
+                    0, Tb, tr_block, tinit)
                 ca = ca + term_tr(xaT, *ct_t)
                 cb = cb + term_tr(xbT, *ct_t)
                 if cfg.stage_predictor:
@@ -353,8 +375,8 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
                 tb4 = take[0][None, None]
                 up_v[:] = jnp.where(rb, u_v[:], up_v[:])
                 xs_v[:] = jnp.where(
-                    tb4, xb_s[:], jnp.where(rb, tx_s[:], xs_v[:]))
-                u_v[:] = jnp.where(tb4, tu_s[:], u_v[:])
+                    tb4, Kk_s[:, 0:nx], jnp.where(rb, tx_s[:], xs_v[:]))
+                u_v[:] = jnp.where(tb4, Kk_s[:, nx:nx + nu], u_v[:])
                 xT_v[:] = jnp.where(
                     take[0][None], xbT, jnp.where(roll[0][None], xaT,
                                                   xT_v[:]))
@@ -379,6 +401,8 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
     lax.fori_loop(0, k, iteration, jnp.asarray(0, jnp.int32))
 
     # --- write back --------------------------------------------------------
+    # steps_o is the FULL (C, 1) SMEM array (Mosaic requires scalar output
+    # blocks to cover the array); each grid step stores its chunk's count.
     xT_o[0] = xT_v[:]
     cun_o[0] = cun_s[:]
     it_o[0] = it_s[:]
@@ -387,7 +411,7 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
     ri_o[0] = ri_s[:]
     bp_o[0] = bp_s[:]
     done_o[0] = done_s[:]
-    steps_o[0, 0] = steps_s[0]
+    steps_o[c, 0] = steps_s[0]
     e0 = pltpu.make_async_copy(xs_v, xs_out.at[c], sems.at[0])
     e1 = pltpu.make_async_copy(u_v, u_out.at[c], sems.at[1])
     e2 = pltpu.make_async_copy(up_v, up_out.at[c], sems.at[2])
@@ -431,12 +455,15 @@ def mega_k_iterations(ocp: OCP, xs_p, xT_p, u_p, up_p, cun_p, it_p, sit_p,
     )
     term_tr, ct_t = _lift(ocp.final_cost, sds((nx,)))
 
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import pick_time_block
+
+    tb = pick_time_block(T)
     kernel = functools.partial(
         _mega_kernel, nx=nx, nu=nu, T=T, k=k, cfg=cfg,
         stage_b=stage_b, term_b=term_b, stage_f=stage_f, term_f=term_f,
         stage_tr=stage_tr, term_tr=term_tr,
         n_counts=(len(cs_b), len(ct_b), len(cs_f), len(ct_f),
-                  len(cs_t), len(ct_t)),
+                  len(cs_t), len(ct_t)), tb=tb,
     )
 
     lift = lambda s: s[:, None]      # (C,S,L) -> (C,1,S,L)  # noqa: E731
@@ -472,7 +499,7 @@ def mega_k_iterations(ocp: OCP, xs_p, xT_p, u_p, up_p, cun_p, it_p, sit_p,
             out_specs=(
                 _bcast1(nx, S), scal(), scal(), scal(), scal(),
                 scal(), scal(), scal(), any_spec, any_spec, any_spec,
-                pl.BlockSpec((1, 1), lambda c: (c, 0),
+                pl.BlockSpec((C, 1), lambda c: (0, 0),
                              memory_space=pltpu.SMEM),
             ),
             scratch_shapes=[
@@ -481,7 +508,6 @@ def mega_k_iterations(ocp: OCP, xs_p, xT_p, u_p, up_p, cun_p, it_p, sit_p,
                 pltpu.VMEM((T, nu, S, LANES), dtype),   # up_v
                 pltpu.VMEM((T, nx, S, LANES), dtype),   # tx_s
                 pltpu.VMEM((T, nu, S, LANES), dtype),   # tu_s
-                pltpu.VMEM((T, nx, S, LANES), dtype),   # xb_s
                 pltpu.VMEM((T, ng, S, LANES), dtype),   # Kk_s
                 pltpu.VMEM((nx, S, LANES), dtype),      # xT_v
                 pltpu.VMEM((1, S, LANES), dtype),       # cun_s
