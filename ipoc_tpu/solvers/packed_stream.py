@@ -360,12 +360,14 @@ def solve_stream_packed(
             raise ValueError("packed stream needs >= 8 sublanes of lanes")
     # Resident mega-kernel (ops/pallas/mega_kernel.py): k Newton
     # iterations + stage transitions per launch, lane state in VMEM for
-    # the whole k-block.  Trace-time opt-in (IPOC_MEGA_KERNEL=1);
-    # Newton/fused only, and the resident set must fit VMEM (the mega
-    # path caps S — more chunks per launch — where the two-launch path
-    # would pick S=16/32).
+    # the whole k-block.  Hardware-proven r4 (88.5 us/step vs 95.4 for
+    # the two-launch path at B=2048/K=32; headline 184.2k/279.7k
+    # solves/s with an identical quality gate) — default ON for the
+    # Newton/fused path; kill switch IPOC_MEGA_KERNEL=0 (trace-time).
+    # The resident set must fit VMEM (the mega path caps S — more chunks
+    # per launch — where the two-launch path would pick S=16/32).
     use_mega = (
-        os.environ.get("IPOC_MEGA_KERNEL", "0") == "1"
+        os.environ.get("IPOC_MEGA_KERNEL", "1") == "1"
         and cfg.newton_impl == "fused"
     )
     if use_mega:

@@ -142,11 +142,15 @@ def test_merged_tb_matches_two_launch():
 
 
 @pytest.mark.slow
-def test_packed_stream_end_to_end():
-    """solve_stream_packed == solve_stream on a short barrier schedule."""
+def test_packed_stream_end_to_end(monkeypatch):
+    """solve_stream_packed (two-launch path) == solve_stream on a short
+    barrier schedule.  IPOC_MEGA_KERNEL=0 pins the TWO-LAUNCH packed path
+    now that the mega-kernel is the default (it has its own end-to-end
+    pin in test_mega_kernel.py)."""
     from ipoc_tpu.solvers.packed_stream import solve_stream_packed
     from ipoc_tpu.solvers.stream import solve_stream
 
+    monkeypatch.setenv("IPOC_MEGA_KERNEL", "0")
     cfg = ipoc_tpu.BATCH_CONFIG.replace(
         max_newton_iters=8, bp_init=0.1, bp_min=0.021
     )
