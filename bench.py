@@ -239,9 +239,19 @@ def run() -> dict:
         mode = "stream"
     if mode == "mg":
         ocp_c = model.make_ocp(DT * COARSEN)
+        # Coarse-level evaluator (VERDICT r3 #2): the +2.1% switched-lane
+        # cost was decided at the COARSE level — a DDP coarse solve
+        # (nonlinear closed-loop rollouts) lands in quality-neutral basins
+        # (r4 diagnostic scripts/mg_quality.py: switch 2.26% at +2.01%
+        # with the Newton coarse vs 1.64% at -0.32% +- 0.29% SE with the
+        # DDP coarse; fine-level impl is irrelevant — identical results).
+        # Default "ddp" for the Newton mg mode; IPOC_BENCH_MG_COARSE=fused
+        # reverts.  DDP bench runs (IMPL=ddp) already use ddp everywhere.
+        mg_coarse = os.environ.get("IPOC_BENCH_MG_COARSE", "ddp")
         step = jax.jit(lambda u, x: solve_stream_multigrid(
             ocp, ocp_c, COARSEN, u, x, cfg, lanes=BATCH,
-            refill_every=REFILL))
+            refill_every=REFILL,
+            coarse_impl=None if mg_coarse == cfg.newton_impl else mg_coarse))
     elif mode == "stream":
         step = jax.jit(lambda u, x: solve_stream(
             ocp, u, x, cfg, lanes=BATCH, refill_every=REFILL))
@@ -348,6 +358,18 @@ def run() -> dict:
                       [switched].mean()) if switched.any() else 0.0,
             },
         }
+        if switched.any():
+            # Neutrality evidence beyond the mean: the win/loss split and
+            # the standard error of the switched-lane mean (a symmetric
+            # mix of comparable basins is neutral IN EXPECTATION; the mean
+            # alone can sit a fraction of a percent off zero at finite
+            # pool sizes).
+            sw = ((c_mg - c_sg) / np.maximum(np.abs(c_sg), 1e-12))[switched]
+            payload["multigrid"]["quality"].update({
+                "switched_win_frac": round(float((sw < 0).mean()), 4),
+                "switched_mean_sem": float(sw.std() / np.sqrt(sw.size)),
+                "coarse_impl": mg_coarse,
+            })
     return payload
 
 

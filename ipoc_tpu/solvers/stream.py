@@ -245,6 +245,8 @@ def solve_stream_multigrid(
     fine_bp_init: float = 0.02,
     fine_reg_init: float = 1.0,
     inner_unroll: int = 1,
+    coarse_impl: str | None = None,
+    fine_impl: str | None = None,
 ) -> MultigridSolution:
     """Coarse-to-fine (multigrid-in-time) streaming solve.
 
@@ -287,8 +289,18 @@ def solve_stream_multigrid(
     # fine_bp_init or runs to bp_min — the hard fine lanes are intrinsically
     # hard scenarios, not central-path-distance victims).
     coarse_bp_min = max(cfg.bp_min, fine_bp_init * (1.0 - 1e-6))
+    # ``coarse_impl``/``fine_impl`` override the per-level trial evaluator
+    # (e.g. a DDP fine re-entry under a Newton coarse solve — the r3
+    # verdict's candidate mechanism for quality-neutral switched lanes:
+    # DDP's NONLINEAR closed-loop re-rollout evaluates trial steps at
+    # their true cost, where the Newton deviation step can walk a
+    # linearization into a slightly worse basin).
+    c_cfg = cfg.replace(bp_min=coarse_bp_min)
+    if coarse_impl is not None:
+        c_cfg = c_cfg.replace(newton_impl=coarse_impl)
+    f_cfg = cfg if fine_impl is None else cfg.replace(newton_impl=fine_impl)
     sol_c = solve_stream(ocp_coarse, controls[:, ::coarsen], initial_states,
-                         cfg.replace(bp_min=coarse_bp_min), lanes=lanes,
+                         c_cfg, lanes=lanes,
                          refill_every=refill_every,
                          inner_unroll=inner_unroll)
     u_warm = jnp.repeat(sol_c.controls, coarsen, axis=1)
@@ -314,7 +326,7 @@ def solve_stream_multigrid(
                     jnp.asarray(cfg.bp_init, controls.dtype))
     rp0 = jnp.where(ok, jnp.asarray(fine_reg_init, controls.dtype),
                     jnp.asarray(cfg.reg_init, controls.dtype))
-    sol_f = solve_stream(ocp, u_start, initial_states, cfg, lanes=lanes,
+    sol_f = solve_stream(ocp, u_start, initial_states, f_cfg, lanes=lanes,
                          refill_every=refill_every, bp_init=bp0,
                          rp_init=rp0, inner_unroll=inner_unroll)
     return MultigridSolution(

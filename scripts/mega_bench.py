@@ -26,6 +26,7 @@ from ipoc_tpu.solvers.stream import solve_stream  # noqa: E402
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 T = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 POOLX = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+REFILL = int(sys.argv[4]) if len(sys.argv) > 4 else 16
 
 cfg = ipoc_tpu.BATCH_CONFIG
 ocp = cartpole.make_ocp(1.0 / T)
@@ -48,7 +49,7 @@ for mega in (False, True):
     os.environ["IPOC_MEGA_KERNEL"] = "1" if mega else "0"
     os.environ["IPOC_PACKED_STREAM"] = "1"
     stream = jax.jit(lambda u, x: solve_stream(ocp, u, x, cfg, lanes=B,
-                                               refill_every=16))
+                                               refill_every=REFILL))
     t0 = time.perf_counter()
     sol = stream(uN, xN)
     sync(sol.iterations)
