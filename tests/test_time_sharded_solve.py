@@ -138,10 +138,35 @@ def test_time_sharded_validation():
     u0 = jnp.zeros((T, 1))
     mesh = make_mesh(time=4)
     with pytest.raises(ValueError, match="single"):
-        ip_newton_time_sharded(ocp, u0, x0, mesh, ipoc_tpu.DEFAULT_CONFIG)
+        ip_newton_time_sharded(
+            ocp, u0, x0, mesh,
+            ipoc_tpu.DEFAULT_CONFIG.replace(barrier_mode="flat",
+                                            globalization="flat"),
+        )
     with pytest.raises(ValueError, match="par"):
         ip_newton_time_sharded(
             ocp, u0, x0, mesh, CFG.replace(newton_impl="seq")
         )
     with pytest.raises(ValueError, match="divisible"):
         ip_newton_time_sharded(ocp, u0[:30], x0, mesh, CFG)
+
+
+def test_time_sharded_retry_matches_unsharded():
+    """globalization='retry' (reference-flagship semantics) inside the
+    shard_map == the unsharded retry solver (VERDICT r3 #9: the retry
+    scalars are shard-replicated, so the inner while shards as-is)."""
+    T = 64
+    ocp = pendulum.make_ocp(1.0 / T)
+    x0 = pendulum.initial_state(jnp.float64)
+    u0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (T, 1))
+    mesh = make_mesh(time=8)
+    cfg = ipoc_tpu.DEFAULT_CONFIG  # globalization="retry", newton_impl="par"
+    assert cfg.globalization == "retry"
+
+    u_sh, it_sh = jax.jit(
+        lambda u, x: ip_newton_time_sharded(ocp, u, x, mesh, cfg)
+    )(u0, x0)
+    u_ref, it_ref = _unsharded(ocp, u0, x0, cfg)
+    assert int(it_sh) == int(it_ref)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               rtol=1e-8, atol=1e-9)
