@@ -43,3 +43,6 @@ run fused_newton 4000 env IPOC_FUSED_NEWTON=1 IPOC_BENCH_MODE=batch \
     IPOC_BENCH_BATCH=1024 python bench.py
 
 echo "=== r2 validation done $(date -Is)" >> "$LOG"
+
+# 7. Slow test tier (r4: no CI — exercise the demoted heavy tests here).
+run slow_tier 4000 sh scripts/run_slow_tier.sh

@@ -31,6 +31,15 @@ if _cache:
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# The default tier is COMPILE-bound (tiny shapes, big second-order-AD
+# traces), so skip XLA's expensive optimization passes by default —
+# measured ~2x faster cold suite on this 2-core box with identical
+# results (the tests compare jax-vs-jax or jax-vs-numpy with explicit
+# tolerances; no test depends on fusion/layout choices).
+# IPOC_TEST_FULL_OPT=1 restores full optimization.
+if os.environ.get("IPOC_TEST_FULL_OPT", "0") != "1":
+    jax.config.update("jax_disable_most_optimizations", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import ipoc_tpu
 from ipoc_tpu.models import pendulum
@@ -78,6 +79,7 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(sol1.iterations, sol2.iterations)
 
 
+@pytest.mark.slow
 def test_checkpoint_partial_resume(tmp_path):
     """Simulate a crash after one chunk: only remaining chunks are solved."""
     ocp = pendulum.make_ocp(0.05)

@@ -38,7 +38,7 @@ SINGLE = ipoc_tpu.FAST_CONFIG.replace(
 def test_kernel_matches_reference_composition(model, merged):
     """Interpret-mode kernel (merged one-launch and two-launch variants)
     == unfused composition (f32)."""
-    T, B = 24, 4
+    T, B = 10, 4
     ocp = model.make_ocp(1.0 / T)
     x0 = model.initial_state(jnp.float32)
     u0, x0b = make_batch(

@@ -20,7 +20,7 @@ from tests.conftest import lqt_total_cost, make_random_lqt
 
 
 @pytest.mark.parametrize("cross", [False, True])
-@pytest.mark.parametrize("shape", [(8, 3, 2), (16, 2, 1), (5, 4, 4)])
+@pytest.mark.parametrize("shape", [(8, 3, 2), (8, 2, 1), (4, 4, 4)])
 def test_par_equals_seq(rng, cross, shape):
     T, nx, nu = shape
     lqt = make_random_lqt(rng, T=T, nx=nx, nu=nu, cross=cross)

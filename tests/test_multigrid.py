@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import ipoc_tpu
 from ipoc_tpu.models import pendulum
@@ -94,6 +95,7 @@ def test_multigrid_rejects_bad_horizon():
         raise AssertionError("expected ValueError")
 
 
+@pytest.mark.slow
 def test_multigrid_sharded_matches_local():
     """Per-shard multigrid streams over a 2-device mesh reproduce the local
     multigrid solutions (shard-major pool order)."""

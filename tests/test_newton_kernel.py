@@ -40,7 +40,8 @@ def _stage_data(model, T, nx, rp=1.0, bp=0.1):
 
 @pytest.mark.parametrize("model,T,nx", [
     pytest.param(cartpole, 40, 4, marks=pytest.mark.slow),
-    (pendulum, 60, 2),
+    pytest.param(pendulum, 60, 2, marks=pytest.mark.slow),
+    (pendulum, 16, 2),
 ])
 def test_fused_matches_pipeline(model, T, nx):
     ocp, d, lin_reg, XT = _stage_data(model, T, nx)

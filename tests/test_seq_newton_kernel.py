@@ -35,7 +35,7 @@ def _stage_data(model, T, rp=1.0, bp=0.1, dtype=jnp.float32):
 
 
 @pytest.mark.parametrize("model,T,nx", [
-    (cartpole, 14, 4),
+    (cartpole, 8, 4),
     pytest.param(cartpole, 40, 4, marks=pytest.mark.slow),
     pytest.param(pendulum, 60, 2, marks=pytest.mark.slow),
 ])
@@ -56,7 +56,7 @@ def test_seq_trial_scan_matches_par_pipeline(model, T, nx):
 
 @pytest.mark.parametrize("model,T,nx", [
     pytest.param(cartpole, 40, 4, marks=pytest.mark.slow),
-    (pendulum, 20, 2),
+    (pendulum, 10, 2),
     pytest.param(pendulum, 60, 2, marks=pytest.mark.slow),
 ])
 def test_seq_kernel_matches_scan(model, T, nx):

@@ -29,7 +29,7 @@ def devices():
 def test_sharded_scan_forward(devices):
     """Cross-shard affine prefix scan == single-device scan."""
     mesh = Mesh(np.array(devices), ("time",))
-    T, n = 32, 3
+    T, n = 16, 3
     rng = np.random.default_rng(7)
     F = jnp.array(rng.normal(size=(T, n, n)) * 0.5)
     c = jnp.array(rng.normal(size=(T, n)))
@@ -57,7 +57,7 @@ def test_sharded_scan_forward(devices):
 def test_sharded_scan_reverse(devices):
     """Cross-shard suffix scan == single-device reverse scan."""
     mesh = Mesh(np.array(devices), ("time",))
-    T, n = 24, 2
+    T, n = 16, 2
     rng = np.random.default_rng(8)
     F = jnp.array(rng.normal(size=(T, n, n)) * 0.5)
     c = jnp.array(rng.normal(size=(T, n)))
@@ -82,7 +82,7 @@ def test_sharded_scan_reverse(devices):
 def test_time_sharded_lqt_solve(rng, devices):
     """Full time-sharded LQT solve == single-device parallel passes."""
     mesh = make_mesh(batch=1, time=8, devices=devices)
-    T, nx, nu = 40, 3, 2
+    T, nx, nu = 16, 3, 2
     lqt = make_random_lqt(rng, T=T, nx=nx, nu=nu)
     x0 = jnp.array(rng.normal(size=(nx,)))
 

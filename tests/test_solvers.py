@@ -206,6 +206,7 @@ def test_flat_barrier_matches_staged(pendulum_problem):
     assert int(it_flat) == int(it_staged)
 
 
+@pytest.mark.slow
 def test_flat_barrier_batched(pendulum_problem):
     """Flat mode under vmap: per-lane results match per-lane staged solves."""
     from ipoc_tpu.solvers.batched import make_batch, solve_batch

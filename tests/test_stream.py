@@ -103,6 +103,7 @@ def test_stream_bad_warm_start_lane():
     assert int(sol.iterations[2]) == 0
 
 
+@pytest.mark.slow
 def test_stream_sharded_matches_local(scenario_pool):
     """Per-shard streams over a 4-device mesh reproduce the per-scenario
     solutions of a single local stream (pool order is shard-major)."""

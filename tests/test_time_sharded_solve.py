@@ -49,7 +49,7 @@ def test_sharded_rollout_matches_serial():
                                rtol=1e-12, atol=1e-12)
 
 
-@pytest.mark.parametrize("n_time", [2, 8])
+@pytest.mark.parametrize("n_time", [pytest.param(2, marks=pytest.mark.slow), 8])
 def test_time_sharded_solve_matches_unsharded(n_time):
     T = 64
     ocp = pendulum.make_ocp(1.0 / T)
@@ -69,7 +69,7 @@ def test_time_sharded_solve_matches_unsharded(n_time):
 def test_time_sharded_solve_reference_terminal_quirk():
     """The XT=Q[0] quirk needs a cross-shard broadcast of the globally
     first stage; pin agreement in that mode too."""
-    T = 32
+    T = 16
     ocp = pendulum.make_ocp(1.0 / T)
     x0 = pendulum.initial_state(jnp.float64)
     u0 = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (T, 1))
@@ -110,7 +110,7 @@ def test_batch_time_sharded_matches_unsharded():
     scenario reproduces its unsharded solve exactly."""
     from ipoc_tpu.solvers.time_sharded import ip_newton_batch_time_sharded
 
-    T, N = 24, 2
+    T, N = 16, 2
     ocp = pendulum.make_ocp(1.0 / T)
     x0 = pendulum.initial_state(jnp.float64)
     key = jax.random.PRNGKey(7)
@@ -155,7 +155,7 @@ def test_time_sharded_retry_matches_unsharded():
     """globalization='retry' (reference-flagship semantics) inside the
     shard_map == the unsharded retry solver (VERDICT r3 #9: the retry
     scalars are shard-replicated, so the inner while shards as-is)."""
-    T = 64
+    T = 32
     ocp = pendulum.make_ocp(1.0 / T)
     x0 = pendulum.initial_state(jnp.float64)
     u0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (T, 1))
