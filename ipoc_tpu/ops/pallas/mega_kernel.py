@@ -108,7 +108,7 @@ def mega_fits(T: int, nx: int, nu: int, S: int, dtype) -> bool:
 
 
 def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
-                 term_f, stage_tr, term_tr, n_counts, tb=1):
+                 term_f, stage_tr, term_tr, n_counts, tb=1, ddp=False):
     """One batch chunk: k resident Newton iterations + stage transitions.
 
     Ref order: inputs (act, x0, xT, cun, it, stage_it, rp, r_inc, bp, bp0,
@@ -168,7 +168,7 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
         def _():
             steps_s[0] = steps_s[0] + 1
             bp = bp_s[0]                              # (S, L)
-            if cfg.scale_reg_by_grad:
+            if ddp or cfg.scale_reg_by_grad:
                 reg = rp_s[0] * jnp.maximum(
                     cun_s[0], jnp.asarray(cfg.reg_scale_floor, dtype))
             else:
@@ -190,11 +190,16 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
                 return carry
 
             def bwd_step(t, carry):
+                # ddp=True switches to IP-DDP semantics (mirrors the
+                # merged kernel, fused_iter_kernel.py:915-998): the stage
+                # data contracts with the VALUE GRADIENT Vx (so Qu = Hu,
+                # Qx = Hx directly), dV = 1/2 k'Qu, no costate carry.
                 Vxx, Vx, lam, dv, piv, cost, hu = carry
                 x = xs_v[pl.ds(t, 1)][0]
                 u = u_v[pl.ds(t, 1)][0]
+                contraction = Vx if ddp else lam
                 ru, Q, R, M, fx, fu, lam_new, cst = stage_b(
-                    x, u, bp, lam, *cs_b)
+                    x, u, bp, contraction, *cs_b)
                 R = jnp.stack(
                     [R[r] + reg if r % (nu + 1) == 0 else R[r]
                      for r in range(nu * nu)],
@@ -207,8 +212,12 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
                 Qxx = _add_mm_sym(Q, fxT, Vfx, nx, nx)
                 Quu = _add_mm_sym(R, fuT, Vfu, nu, nx)
                 Qxu = M + _mm(fxT, Vfu, nx, nx, nu)
-                Qu = ru + _mv(fuT, Vx, nu, nx)
-                Qx = _mv(fxT, Vx, nx, nx)
+                if ddp:
+                    Qu = ru
+                    Qx = lam_new
+                else:
+                    Qu = ru + _mv(fuT, Vx, nu, nx)
+                    Qx = _mv(fxT, Vx, nx, nx)
                 rhs = _gain_rhs(Qu, _transpose(Qxu, nx, nu), nx, nu)
                 sol, piv_t = _solve_track(Quu, rhs, nu, 1 + nx)
                 kg = -jnp.stack([sol[i_ * (1 + nx)] for i_ in range(nu)],
@@ -218,21 +227,25 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
                      for i_ in range(nu) for j in range(nx)],
                     axis=0,
                 )
-                piv_t = jnp.minimum(piv_t, _pivots_only(R, nu))
+                if not ddp:
+                    piv_t = jnp.minimum(piv_t, _pivots_only(R, nu))
                 Kk_s[pl.ds(t, 1)] = jnp.concatenate([kg, Kg], axis=0)[None]
                 Vx_n = Qx + _mv(Qxu, kg, nx, nu)
                 Vxx_n = _add_mm_sym(Qxx, Qxu, Kg, nx, nu)
-                dv_n = dv + (
-                    _dot(kg, Qu, nu)
-                    + 0.5 * _dot(kg, _mv(Quu, kg, nu, nu), nu)
-                )
+                if ddp:
+                    dv_n = dv + 0.5 * _dot(kg, Qu, nu)
+                else:
+                    dv_n = dv + (
+                        _dot(kg, Qu, nu)
+                        + 0.5 * _dot(kg, _mv(Quu, kg, nu, nu), nu)
+                    )
                 return (Vxx_n, Vx_n, lam_new, dv_n,
                         jnp.minimum(piv, piv_t), cost + cst,
                         jnp.maximum(hu, jnp.max(jnp.abs(ru), axis=0)))
 
             init = (
                 VT,
-                jnp.zeros((nx,) + VT.shape[1:], dtype),
+                lamT if ddp else jnp.zeros((nx,) + VT.shape[1:], dtype),
                 lamT,
                 jnp.zeros(VT.shape[1:], dtype),
                 jnp.full(VT.shape[1:], jnp.inf, dtype),
@@ -242,7 +255,9 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
             (_, _, _, dv, piv, cost, hu) = lax.fori_loop(
                 0, Tb, bwd_block, init)
 
-            # --- forward trial sweep (== _fused_fwd_kernel) --------------
+            # --- forward trial sweep (== _fused_fwd_kernel; ddp=True is
+            # the NONLINEAR closed-loop re-rollout, carry = trial state
+            # starting at x0, _stage_ddp_fwd_fn semantics) ----------------
             def fwd_step(t, carry):
                 dx, nc, mc, cun_new = carry
                 x = xs_v[pl.ds(t, 1)][0]
@@ -261,7 +276,7 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
                 return carry
 
             finit = (
-                jnp.zeros((nx,) + cT.shape, dtype),
+                x0 if ddp else jnp.zeros((nx,) + cT.shape, dtype),
                 jnp.zeros(cT.shape, dtype),
                 jnp.full(cT.shape, -jnp.inf, dtype),
                 jnp.zeros(cT.shape, dtype),
@@ -421,7 +436,8 @@ def _mega_kernel(*refs, nx, nu, T, k, cfg, stage_b, term_b, stage_f,
 
 def mega_k_iterations(ocp: OCP, xs_p, xT_p, u_p, up_p, cun_p, it_p, sit_p,
                       rp_p, ri_p, bp_p, bp0_p, done_p, x0_p, active_p,
-                      cfg, k: int, interpret: bool = False):
+                      cfg, k: int, interpret: bool = False,
+                      ddp: bool = False):
     """Run ``k`` resident packed Newton iterations in ONE Pallas launch.
 
     All arrays are in the packed stream layout (solvers/packed_stream.py
@@ -444,11 +460,22 @@ def mega_k_iterations(ocp: OCP, xs_p, xT_p, u_p, up_p, cun_p, it_p, sit_p,
         sds((nx,)),
     )
     term_b, ct_b = _lift(_term_fn(ocp, nx), sds((nx,)))
+    if ddp:
+        from ipoc_tpu.ops.pallas.fused_iter_kernel import (
+            _stage_ddp_fwd_fn,
+            _term_ddp_fwd_fn,
+        )
+
+        fwd_fn = _stage_ddp_fwd_fn(ocp, nx, nu, with_cu=True)
+        term_fwd = _term_ddp_fwd_fn(ocp)
+    else:
+        fwd_fn = _stage_fwd_fn(ocp, nx, nu, with_cu=True)
+        term_fwd = _term_fwd_fn(ocp)
     stage_f, cs_f = _lift(
-        _stage_fwd_fn(ocp, nx, nu, with_cu=True), sds((nx,)), sds((nu,)),
+        fwd_fn, sds((nx,)), sds((nu,)),
         sds(()), sds((nx,)), sds((ng,)),
     )
-    term_f, ct_f = _lift(_term_fwd_fn(ocp), sds((nx,)), sds((nx,)))
+    term_f, ct_f = _lift(term_fwd, sds((nx,)), sds((nx,)))
     stage_tr, cs_t = _lift(
         _stage_transition_fn(ocp, with_cu=True), sds((nx,)), sds((nx,)),
         sds((nu,)), sds((nu,)), sds(()),
@@ -463,7 +490,7 @@ def mega_k_iterations(ocp: OCP, xs_p, xT_p, u_p, up_p, cun_p, it_p, sit_p,
         stage_b=stage_b, term_b=term_b, stage_f=stage_f, term_f=term_f,
         stage_tr=stage_tr, term_tr=term_tr,
         n_counts=(len(cs_b), len(ct_b), len(cs_f), len(ct_f),
-                  len(cs_t), len(ct_t)), tb=tb,
+                  len(cs_t), len(ct_t)), tb=tb, ddp=ddp,
     )
 
     lift = lambda s: s[:, None]      # (C,S,L) -> (C,1,S,L)  # noqa: E731

@@ -368,7 +368,11 @@ def solve_stream_packed(
     # per launch — where the two-launch path would pick S=16/32).
     use_mega = (
         os.environ.get("IPOC_MEGA_KERNEL", "1") == "1"
-        and cfg.newton_impl == "fused"
+        and (cfg.newton_impl == "fused"
+             # DDP through the mega kernel (same resident structure, DDP
+             # backward/forward semantics): opt-in until hardware-proven.
+             or (cfg.newton_impl == "ddp"
+                 and os.environ.get("IPOC_MEGA_DDP", "0") == "1"))
     )
     if use_mega:
         from ipoc_tpu.ops.pallas.mega_kernel import mega_fits
@@ -378,7 +382,7 @@ def solve_stream_packed(
         if not mega_fits(T, nx, nu, S, dtype):
             use_mega = False
             S = _stream_sublanes(B)
-    if cfg.newton_impl == "ddp":
+    if cfg.newton_impl == "ddp" and not use_mega:
         # The merged DDP kernel's gains ring must fit VMEM: cap the
         # sublane depth to the largest fitting S (more batch chunks, same
         # lanes) instead of falling back to the compile-killing unfused
@@ -431,7 +435,7 @@ def solve_stream_packed(
                 ocp, lane.xs, lane.xT, lane.u, lane.u_prev, lane.cun,
                 lane.it, lane.stage_it, lane.rp, lane.r_inc, lane.bp,
                 lane.bp0, lane.done, lane.x0, active, cfg, k_mega,
-                interpret=interpret)
+                interpret=interpret, ddp=cfg.newton_impl == "ddp")
             lane = PackedLane(
                 x0=lane.x0, xs=xs, xT=xT, u=u, u_prev=up, cun=cun,
                 it=it, stage_it=sit, rp=rp, r_inc=ri, bp=bp,

@@ -120,3 +120,44 @@ def test_mega_stream_end_to_end():
                                np.asarray(ref.controls), atol=1e-3)
     np.testing.assert_array_equal(np.asarray(got.iterations),
                                   np.asarray(ref.iterations))
+
+
+@pytest.mark.slow
+def test_mega_ddp_matches_packed_iters():
+    """k=4 resident DDP iterations (mega ddp=True: Vx-contracted backward
+    sweep + in-kernel nonlinear closed-loop re-rollout) == 4
+    packed_lane_iter steps through the merged DDP kernel."""
+    cfg = ipoc_tpu.BATCH_CONFIG.replace(
+        max_newton_iters=2, newton_impl="ddp"
+    )
+    ocp, u0, x0b = _setup(cfg)
+
+    set_pallas_scans("on")
+    with pltpu.force_tpu_interpret_mode():
+        lane0 = _packed_init(ocp, u0, x0b, cfg)
+        active = jnp.ones_like(lane0.done)
+
+        ref = lane0
+        step = jax.jit(lambda ln: packed_lane_iter(
+            ocp, ln, cfg, jnp.logical_and(active, jnp.logical_not(ln.done)),
+            interpret=True))
+        for _ in range(4):
+            ref = step(ref)
+
+        (xs, xT, u, up, cun, it, sit, rp, ri, bp, done,
+         steps) = jax.jit(lambda ln: mega_k_iterations(
+            ocp, ln.xs, ln.xT, ln.u, ln.u_prev, ln.cun, ln.it,
+            ln.stage_it, ln.rp, ln.r_inc, ln.bp, ln.bp0, ln.done,
+            ln.x0, active, cfg, 4, interpret=True, ddp=True))(lane0)
+
+    assert int(steps) == 4
+    np.testing.assert_allclose(np.asarray(_unpack_s(u, B, (1,))),
+                               np.asarray(_unpack_s(ref.u, B, (1,))),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(_unpack_scal(it, B)),
+                                  np.asarray(_unpack_scal(ref.it, B)))
+    np.testing.assert_allclose(np.asarray(_unpack_scal(bp, B)),
+                               np.asarray(_unpack_scal(ref.bp, B)),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(_unpack_scal(done, B)),
+                                  np.asarray(_unpack_scal(ref.done, B)))
