@@ -192,19 +192,43 @@ def run() -> dict:
         # whole closed loop ONE XLA program; every step is a warm-started
         # IP resolve from the previous plan (reference MPC-loop semantics:
         # examples/linear_mpc_parallel.py:67-81, warm start by re-solve).
-        from ipoc_tpu.mpc import nmpc_loop
+        from ipoc_tpu.mpc import nmpc_loop, nmpc_loop_batched
+        from ipoc_tpu.solvers.packed_stream import (
+            packed_stream_eligible,
+            solve_batch_packed,
+        )
 
         ncfg = cfg.replace(max_newton_iters=NMPC_CAP)
 
-        def solve(u_warm, x):
-            u, _ = ipoc_tpu.par_interior_point_optimal_control(
-                ocp, u_warm, x, ncfg
-            )
-            return u
+        # r4: the lockstep replan step through the packed mega-kernel
+        # batch solver (ONE resident launch per k-block instead of the
+        # vmapped staged program) — flat-mode per-lane semantics, pinned
+        # ≡ staged.  IPOC_BENCH_NMPC_PACKED=0 reverts to the r3 path.
+        nmpc_packed = (
+            os.environ.get("IPOC_BENCH_NMPC_PACKED", "1") == "1"
+            and packed_stream_eligible(ncfg, jnp.float32, x0.shape[-1],
+                                       BATCH, T=HORIZON, nu=nu)
+        )
+        if nmpc_packed:
+            def solve_b(u_warm, x):
+                u, _ = solve_batch_packed(ocp, u_warm, x, ncfg)
+                return u
 
-        loop = jax.jit(jax.vmap(
-            lambda x, u: nmpc_loop(solve, ocp.dynamics, x, u, NMPC_STEPS)
-        ))
+            loop = jax.jit(
+                lambda x, u: nmpc_loop_batched(
+                    solve_b, ocp.dynamics, x, u, NMPC_STEPS)
+            )
+        else:
+            def solve(u_warm, x):
+                u, _ = ipoc_tpu.par_interior_point_optimal_control(
+                    ocp, u_warm, x, ncfg
+                )
+                return u
+
+            loop = jax.jit(jax.vmap(
+                lambda x, u: nmpc_loop(solve, ocp.dynamics, x, u,
+                                       NMPC_STEPS)
+            ))
         u0b = jnp.zeros((BATCH, HORIZON, nu), jnp.float32)
         x0c = x0b[:BATCH]
         xs, us = loop(x0c, u0b)
@@ -229,6 +253,7 @@ def run() -> dict:
                 "per_step_ms": round(med / NMPC_STEPS * 1e3, 3),
                 "replan_budget_ms": round(DT * 1e3, 3),
                 "max_abs_u": float(np.abs(np.asarray(us)).max()),
+                "packed_mega_resolver": nmpc_packed,
             },
         }
 

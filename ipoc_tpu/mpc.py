@@ -73,3 +73,30 @@ def nmpc_loop(solve: Callable, plant: Callable, x0, u_init, n_steps: int):
 
     (_, _), (xs, us) = lax.scan(step, (x0, u_init), xs=None, length=n_steps)
     return xs, us
+
+
+def nmpc_loop_batched(solve_batch: Callable, plant: Callable, x0s, u_init,
+                      n_steps: int):
+    """Batched nonlinear MPC: B controllers in lockstep, ONE resolve per
+    step for the whole batch (``solve_batch(u_warm (B,T,nu), xs (B,nx)) ->
+    u_plans (B,T,nu)``), warm-start-by-resolve semantics as
+    :func:`nmpc_loop` (reference linear_mpc_parallel.py:67-81).
+
+    The payoff over ``vmap(nmpc_loop)`` is that ``solve_batch`` can be a
+    batch-NATIVE solver (solvers/packed_stream.py ``solve_batch_packed``:
+    the resident mega-kernel on packed lanes) instead of a vmapped
+    per-controller program.  Returns ``(states (n_steps,B,nx),
+    controls (n_steps,B,nu))``.
+    """
+    vplant = jax.vmap(plant)
+
+    def step(carry, _):
+        xs, u_warm = carry
+        u_plans = solve_batch(u_warm, xs)
+        u0 = u_plans[:, 0]
+        x_next = vplant(xs, u0)
+        return (x_next, u_plans), (x_next, u0)
+
+    (_, _), (xs, us) = lax.scan(step, (x0s, u_init), xs=None,
+                                length=n_steps)
+    return xs, us

@@ -502,3 +502,91 @@ def solve_stream_packed(
     _, _, _, _, out_u, out_it, steps, _ = lax.while_loop(
         outer_cond, outer_body, carry)
     return StreamSolution(out_u[:N], out_it[:N], steps)
+
+
+def solve_batch_packed(
+    ocp: OCP,
+    controls,        # (B, T, nu) warm starts
+    initial_states,  # (B, nx)
+    cfg: SolverConfig,
+    k_block: int = 32,
+    interpret: bool = False,
+):
+    """Lockstep flat-mode batch solve in the packed layout (mega kernel).
+
+    The warm-started NMPC replan step is a LOCKSTEP batch resolve — no
+    pool, no refill — so the stream's scheduling machinery is overhead;
+    this driver packs the batch once, runs resident mega-kernel k-blocks
+    until every lane converges, and unpacks once.  Per-lane semantics are
+    ``flat_lane_iter``'s, which are pinned ≡ the staged single-trial
+    solve (tests/test_solvers.py flat-parity pins), so the resolves match
+    ``par_interior_point_optimal_control(globalization='single')`` up to
+    the documented packed ``||cu||`` summation-order difference.
+
+    Returns ``(controls (B,T,nu), iterations (B,) int32)``.
+
+    Reference protocol anchor: warm-start-by-resolve MPC
+    (/root/reference/examples/linear_mpc_parallel.py:67-81); the
+    reference has no batching (one solve per call).
+    """
+    import os as _os
+
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import _pack_vec
+    from ipoc_tpu.ops.pallas.mega_kernel import mega_fits, mega_k_iterations
+    from ipoc_tpu.ops.pallas.seq_newton_kernel import (
+        LANES,
+        _ceil_to,
+        _pack_s,
+        _stream_sublanes,
+        _unpack_s,
+    )
+    from ipoc_tpu.solvers.ip_newton import flat_total_cap
+
+    B, T, nu = controls.shape
+    nx = initial_states.shape[-1]
+    dtype = controls.dtype
+    S = _stream_sublanes(B)
+    if S < 8:
+        if _os.environ.get("IPOC_PACKED_FORCE", "0") == "1":
+            S = 8
+        else:
+            raise ValueError("solve_batch_packed needs >= 8 sublanes")
+    while S > 8 and not mega_fits(T, nx, nu, S, dtype):
+        S //= 2
+    if not mega_fits(T, nx, nu, S, dtype):
+        raise ValueError("solve_batch_packed: resident set exceeds VMEM")
+    ddp = cfg.newton_impl == "ddp"
+    chunk = S * LANES
+    Bp = _ceil_to(B, chunk)
+    C = Bp // chunk
+
+    u_p = _pack_s(controls, Bp, S)
+    x0_p = _pack_vec(initial_states, Bp, S)
+    bp0 = _pack_scal(jnp.full((B,), cfg.bp_init, dtype), Bp, C, S, LANES)
+    rp0 = _pack_scal(jnp.full((B,), cfg.reg_init, dtype), Bp, C, S, LANES)
+    lane = packed_lane_init(ocp, u_p, x0_p, bp0, rp0, cfg,
+                            interpret=interpret)
+    active = _pack_scal(jnp.ones((B,), bool), Bp, C, S, LANES)
+    max_blocks = flat_total_cap(cfg) // k_block + 2
+
+    def body(carry):
+        ln, r = carry
+        (xs, xT, u, up, cun, it, sit, rp, ri, bp, done,
+         _dt) = mega_k_iterations(
+            ocp, ln.xs, ln.xT, ln.u, ln.u_prev, ln.cun, ln.it,
+            ln.stage_it, ln.rp, ln.r_inc, ln.bp, ln.bp0, ln.done,
+            ln.x0, active, cfg, k_block, interpret=interpret, ddp=ddp)
+        ln = PackedLane(x0=ln.x0, xs=xs, xT=xT, u=u, u_prev=up, cun=cun,
+                        it=it, stage_it=sit, rp=rp, r_inc=ri, bp=bp,
+                        bp0=ln.bp0, done=done)
+        return ln, r + 1
+
+    def cond(carry):
+        ln, r = carry
+        live = jnp.logical_and(active, jnp.logical_not(ln.done))
+        return jnp.logical_and(jnp.any(live), r < max_blocks)
+
+    lane, _ = lax.while_loop(cond, body, (lane, jnp.asarray(0, jnp.int32)))
+    u_out = _unpack_s(lane.u, B, (nu,))
+    it_out = _unpack_scal(lane.it, B)
+    return u_out, it_out

@@ -161,3 +161,32 @@ def test_mega_ddp_matches_packed_iters():
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(_unpack_scal(done, B)),
                                   np.asarray(_unpack_scal(ref.done, B)))
+
+
+@pytest.mark.slow
+def test_solve_batch_packed_matches_flat():
+    """The lockstep packed batch solver (mega k-blocks, no stream
+    scheduling) == the flat-mode vmapped reference solve."""
+    from ipoc_tpu.solvers.ip_newton import flat_lane_init, flat_lane_iter
+    from ipoc_tpu.solvers.packed_stream import solve_batch_packed
+
+    cfg = ipoc_tpu.BATCH_CONFIG.replace(
+        max_newton_iters=8, bp_init=0.1, bp_min=0.021
+    )
+    ocp, u0, x0b = _setup(cfg)
+
+    flat = jax.vmap(lambda u, x: flat_lane_init(ocp, u, x, cfg))(u0, x0b)
+    step_flat = jax.jit(jax.vmap(
+        lambda ln: flat_lane_iter(ocp, ln, cfg,
+                                  jnp.logical_not(ln.done))))
+    for _ in range(40):
+        flat = step_flat(flat)
+    assert bool(jnp.all(flat.done))
+
+    set_pallas_scans("on")
+    with pltpu.force_tpu_interpret_mode():
+        u_pk, it_pk = jax.jit(lambda u, x: solve_batch_packed(
+            ocp, u, x, cfg, k_block=8, interpret=True))(u0, x0b)
+    np.testing.assert_allclose(np.asarray(u_pk), np.asarray(flat.u),
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(it_pk), np.asarray(flat.it))
