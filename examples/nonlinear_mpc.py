@@ -52,23 +52,50 @@ def main():
     if args.batch > 1:
         # Batched NMPC: B independent closed-loop controllers stepping in
         # lockstep — the amortized-throughput story (each step is a
-        # warm-started IP resolve; the fused batch kernels fill the VPU).
+        # warm-started IP resolve).  With >= 1024 controllers on TPU/f32
+        # the replan step runs through the packed mega-kernel batch
+        # resolver (ONE resident launch per k-block; 2048 cartpole H=100
+        # controllers replan in 7.4 ms, docs/PERFORMANCE.md r4).
+        from ipoc_tpu.mpc import nmpc_loop_batched
+        from ipoc_tpu.solvers.packed_stream import (
+            packed_stream_eligible,
+            solve_batch_packed,
+        )
+
         key = jax.random.PRNGKey(0)
         x0b = x0[None, :] + 0.05 * jax.random.normal(
             key, (args.batch, x0.shape[0]), jnp.float32
         )
         u0b = jnp.zeros((args.batch, args.horizon, 1), jnp.float32)
-        loop = jax.jit(
-            jax.vmap(
-                lambda x, u: nmpc_loop(solve, ocp.dynamics, x, u, args.steps)
+        if packed_stream_eligible(cfg, jnp.float32, x0.shape[-1],
+                                  args.batch, T=args.horizon, nu=1):
+            def solve_b(u_warm, x):
+                u, _ = solve_batch_packed(ocp, u_warm, x, cfg)
+                return u
+
+            loop = jax.jit(
+                lambda x, u: nmpc_loop_batched(
+                    solve_b, ocp.dynamics, x, u, args.steps)
             )
-        )
+            batched_layout = True
+        else:
+            loop = jax.jit(
+                jax.vmap(
+                    lambda x, u: nmpc_loop(solve, ocp.dynamics, x, u,
+                                           args.steps)
+                )
+            )
+            batched_layout = False
         xs, us = loop(x0b, u0b)
         sync(xs)
         t0 = time.perf_counter()
         xs, us = loop(x0b, u0b)
         sync(xs)
         wall = time.perf_counter() - t0
+        if batched_layout:
+            # batched layout is (steps, B, ...); normalize to (B, steps, ...)
+            xs = jnp.swapaxes(xs, 0, 1)
+            us = jnp.swapaxes(us, 0, 1)
         n_resolves = args.batch * args.steps
         print(
             f"{args.batch} controllers x {args.steps} MPC steps in "
