@@ -266,12 +266,15 @@ def solve_stream_multigrid(
 
     Solutions satisfy the same final-stage convergence criteria as
     :func:`solve_stream`; on nonconvex problems a small fraction of
-    scenarios (~2.4% on cold-start cartpole H=100) converges to a different
-    local basin than the single-grid path.  Measured (driver bench quality
-    gate, BENCH_r02/r03): those switched lanes average +2.1% HIGHER raw
-    cost than the single-grid solutions — NOT symmetric; the multigrid
-    number books slightly-worse optima on that slice.  Use
-    :func:`solve_stream` (single grid) when per-scenario reference
+    scenarios converges to a different local basin than the single-grid
+    path.  With the default (same-evaluator) coarse solve those switched
+    lanes averaged +2.1% HIGHER raw cost (BENCH_r02/r03 gates) — the
+    basin choice is decided at the COARSE level, and the fix is
+    ``coarse_impl="ddp"``: DDP's nonlinear closed-loop re-rollouts land
+    in quality-neutral basins (r4 measured: switch 2.36% -> 1.68%,
+    signed delta +2.1% -> -0.39% +/- 0.15% SEM, a symmetric win/loss mix
+    — docs/PERFORMANCE.md "Round 4"; the bench mg mode defaults to it).
+    Use :func:`solve_stream` (single grid) when per-scenario reference
     semantics matter more than throughput.  Measured end-to-end
     equivalent-iteration gain: ~1.8x.
 
