@@ -247,6 +247,7 @@ def solve_stream_multigrid(
     inner_unroll: int = 1,
     coarse_impl: str | None = None,
     fine_impl: str | None = None,
+    coarse_solver=None,
 ) -> MultigridSolution:
     """Coarse-to-fine (multigrid-in-time) streaming solve.
 
@@ -302,10 +303,21 @@ def solve_stream_multigrid(
     if coarse_impl is not None:
         c_cfg = c_cfg.replace(newton_impl=coarse_impl)
     f_cfg = cfg if fine_impl is None else cfg.replace(newton_impl=fine_impl)
-    sol_c = solve_stream(ocp_coarse, controls[:, ::coarsen], initial_states,
-                         c_cfg, lanes=lanes,
-                         refill_every=refill_every,
-                         inner_unroll=inner_unroll)
+    # ``coarse_solver`` overrides the coarse-level solve — e.g. ANOTHER
+    # multigrid driver, composing a cascadic multi-level scheme (the
+    # coarsest level solves the cold barrier stages, intermediate levels
+    # advance the barrier at 1/coarsen cost; scripts/mg3_probe.py).
+    # Signature: (ocp_c, u_c, x0, cfg_c, lanes, refill_every,
+    # inner_unroll) -> solution with .controls/.iterations.
+    if coarse_solver is None:
+        sol_c = solve_stream(ocp_coarse, controls[:, ::coarsen],
+                             initial_states, c_cfg, lanes=lanes,
+                             refill_every=refill_every,
+                             inner_unroll=inner_unroll)
+    else:
+        sol_c = coarse_solver(ocp_coarse, controls[:, ::coarsen],
+                              initial_states, c_cfg, lanes,
+                              refill_every, inner_unroll)
     u_warm = jnp.repeat(sol_c.controls, coarsen, axis=1)
 
     fine_bp = jnp.asarray(fine_bp_init, controls.dtype)
