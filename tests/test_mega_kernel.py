@@ -190,3 +190,53 @@ def test_solve_batch_packed_matches_flat():
     np.testing.assert_allclose(np.asarray(u_pk), np.asarray(flat.u),
                                atol=1e-3)
     np.testing.assert_array_equal(np.asarray(it_pk), np.asarray(flat.it))
+
+
+@pytest.mark.slow
+def test_nmpc_batched_resolver_sharded(monkeypatch):
+    """The packed NMPC batch resolver under shard_map (controllers
+    data-parallel over the mesh) == the single-device batched loop —
+    closed-loop NMPC is embarrassingly parallel across chips."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ipoc_tpu.mpc import nmpc_loop_batched
+    from ipoc_tpu.solvers.packed_stream import solve_batch_packed
+
+    cfg = ipoc_tpu.BATCH_CONFIG.replace(
+        max_newton_iters=6, bp_init=0.1, bp_min=0.021
+    )
+    T, steps = 6, 3
+    ocp = pendulum.make_ocp(1.0 / T)
+    x0 = pendulum.initial_state(jnp.float32)
+    Bc = 8 * 4  # 4 controllers per shard
+    key = jax.random.PRNGKey(11)
+    x0b = x0[None] + 0.03 * jax.random.normal(key, (Bc, 2), jnp.float32)
+    u0b = jnp.zeros((Bc, T, 1), jnp.float32)
+
+    def solve_b(u_warm, x):
+        u, _ = solve_batch_packed(ocp, u_warm, x, cfg, k_block=4,
+                                  interpret=True)
+        return u
+
+    def loop(x, u):
+        return nmpc_loop_batched(solve_b, ocp.dynamics, x, u, steps)
+
+    monkeypatch.setenv("IPOC_PACKED_FORCE", "1")
+    set_pallas_scans("on")
+    with pltpu.force_tpu_interpret_mode():
+        xs_ref, us_ref = jax.jit(loop)(x0b, u0b)
+        xs_ref, us_ref = np.asarray(xs_ref), np.asarray(us_ref)
+
+        mesh = Mesh(np.array(jax.devices()), ("batch",))
+        sh = shard_map(
+            loop, mesh=mesh,
+            in_specs=(P("batch"), P("batch")),
+            out_specs=(P(None, "batch"), P(None, "batch")),
+            check_vma=False,
+        )
+        xs_sh, us_sh = jax.jit(sh)(x0b, u0b)
+        xs_sh, us_sh = np.asarray(xs_sh), np.asarray(us_sh)
+
+    np.testing.assert_allclose(xs_sh, xs_ref, atol=1e-4)
+    np.testing.assert_allclose(us_sh, us_ref, atol=1e-4)
