@@ -120,6 +120,13 @@ def _mega_time_block(T: int) -> int:
         tb = int(forced)
         if tb >= 1 and T % tb == 0:
             return tb
+        import sys
+
+        print(
+            f"ipoc_tpu: IPOC_TIME_BLOCK={forced} rejected for the mega "
+            f"kernel (must be >= 1 and divide T={T}); using the auto pick",
+            file=sys.stderr,
+        )
     for tb in (20, 16, 10, 8, 5, 4, 2):
         if T % tb == 0:
             return tb
