@@ -194,7 +194,7 @@ def run() -> dict:
         # examples/linear_mpc_parallel.py:67-81, warm start by re-solve).
         from ipoc_tpu.mpc import nmpc_loop, nmpc_loop_batched
         from ipoc_tpu.solvers.packed_stream import (
-            packed_stream_eligible,
+            batch_packed_eligible,
             solve_batch_packed,
         )
 
@@ -204,20 +204,28 @@ def run() -> dict:
         # batch solver (ONE resident launch per k-block instead of the
         # vmapped staged program) — flat-mode per-lane semantics, pinned
         # ≡ staged.  IPOC_BENCH_NMPC_PACKED=0 reverts to the r3 path.
+        # batch_packed_eligible also checks the mega VMEM fit (long
+        # horizons) and the mega kill switches, falling back to the
+        # vmapped loop instead of raising.
         nmpc_packed = (
             os.environ.get("IPOC_BENCH_NMPC_PACKED", "1") == "1"
-            and packed_stream_eligible(ncfg, jnp.float32, x0.shape[-1],
-                                       BATCH, T=HORIZON, nu=nu)
+            and batch_packed_eligible(ncfg, jnp.float32, x0.shape[-1],
+                                      nu, HORIZON, BATCH)
         )
         if nmpc_packed:
             def solve_b(u_warm, x):
                 u, _ = solve_batch_packed(ocp, u_warm, x, ncfg)
                 return u
 
-            loop = jax.jit(
-                lambda x, u: nmpc_loop_batched(
+            def loop_fn(x, u):
+                # nmpc_loop_batched returns (steps, B, ...); normalize to
+                # the vmapped branch's (B, steps, ...) layout so every
+                # downstream consumer is branch-independent.
+                xs, us = nmpc_loop_batched(
                     solve_b, ocp.dynamics, x, u, NMPC_STEPS)
-            )
+                return xs.swapaxes(0, 1), us.swapaxes(0, 1)
+
+            loop = jax.jit(loop_fn)
         else:
             def solve(u_warm, x):
                 u, _ = ipoc_tpu.par_interior_point_optimal_control(

@@ -8,7 +8,6 @@ loop is one lax.scan.  Times par vs seq full-loop wall clock.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -41,9 +40,8 @@ def build_lqt(T=5, dt=1e-3, dtype=jnp.float32):
 
 def main():
     import json
-    import statistics
 
-    from ipoc_tpu.utils.timing import sync
+    from ipoc_tpu.utils.timing import sync, time_fn
 
     n_steps = 5000
     reps = int(os.environ.get("IPOC_MPC_REPS", "5"))
@@ -62,16 +60,11 @@ def main():
         loop = jax.jit(
             lambda x, m=mode: lqt_mpc_loop(lqt, x, n_steps, mode=m)
         )
-        xs, us = sync(loop(x0))  # warmup/compile
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            xs, us = sync(loop(x0))
-            times.append(time.perf_counter() - t0)
-        dt = statistics.median(times)
+        xs, us = sync(loop(x0))  # warmup/compile + result for quality stats
+        mean_s, dt, _ = time_fn(loop, x0, reps=reps, warmup=0)
         result[mode] = {
             "loop_s_median": dt,
-            "loop_s_mean": statistics.fmean(times),
+            "loop_s_mean": mean_s,
             "steps_per_sec": n_steps / dt,
             "final_state_norm": float(jnp.linalg.norm(xs[-1])),
         }

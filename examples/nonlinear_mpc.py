@@ -58,7 +58,7 @@ def main():
         # controllers replan in 7.4 ms, docs/PERFORMANCE.md r4).
         from ipoc_tpu.mpc import nmpc_loop_batched
         from ipoc_tpu.solvers.packed_stream import (
-            packed_stream_eligible,
+            batch_packed_eligible,
             solve_batch_packed,
         )
 
@@ -67,8 +67,8 @@ def main():
             key, (args.batch, x0.shape[0]), jnp.float32
         )
         u0b = jnp.zeros((args.batch, args.horizon, 1), jnp.float32)
-        if packed_stream_eligible(cfg, jnp.float32, x0.shape[-1],
-                                  args.batch, T=args.horizon, nu=1):
+        if batch_packed_eligible(cfg, jnp.float32, x0.shape[-1],
+                                 1, args.horizon, args.batch):
             def solve_b(u_warm, x):
                 u, _ = solve_batch_packed(ocp, u_warm, x, cfg)
                 return u

@@ -523,26 +523,43 @@ def _rev_spec(rows, S, Tb, tb=1):
                         memory_space=pltpu.VMEM)
 
 
+def forced_time_block(T: int, context: str) -> int | None:
+    """Parse + validate the IPOC_TIME_BLOCK override; ``None`` if unset or
+    rejected (with a stderr warning naming the ``context`` kernel family).
+    One implementation shared by :func:`pick_time_block` and the mega
+    kernel's ``_mega_time_block`` so the accept rule cannot drift, and a
+    non-integer value (e.g. ``IPOC_TIME_BLOCK=auto``) warns and falls back
+    instead of raising at trace time."""
+    import os
+
+    forced = os.environ.get("IPOC_TIME_BLOCK", "")
+    if not forced:
+        return None
+    try:
+        tb = int(forced)
+    except ValueError:
+        tb = -1
+    if tb >= 1 and T % tb == 0:
+        return tb
+    import sys
+
+    print(
+        f"ipoc_tpu: IPOC_TIME_BLOCK={forced!r} rejected for {context} "
+        f"(must be an integer >= 1 dividing T={T}); using the default "
+        f"pick",
+        file=sys.stderr,
+    )
+    return None
+
+
 def pick_time_block(T: int) -> int:
     """Largest time-block size in {8,5,4,2,1} dividing T (env override
     IPOC_TIME_BLOCK).  Measured on v5e: per-grid-step fixed cost dominates
     the vreg-packed stage math, so fatter grid steps win until the body's
     unrolled ops thrash (docs/PERFORMANCE.md round-3 section)."""
-    import os
-
-    forced = os.environ.get("IPOC_TIME_BLOCK", "")
-    if forced:
-        tb = int(forced)
-        if tb >= 1 and T % tb == 0:
-            return tb
-        import sys
-
-        print(
-            f"ipoc_tpu: IPOC_TIME_BLOCK={forced} rejected (must be >= 1 "
-            f"and divide T={T}); falling back to tb=1",
-            file=sys.stderr,
-        )
-        return 1
+    tb = forced_time_block(T, "the streaming kernels")
+    if tb is not None:
+        return tb
     for tb in (8, 5, 4, 2):
         if T % tb == 0:
             return tb

@@ -112,21 +112,14 @@ def _mega_time_block(T: int) -> int:
     carry a sequential Riccati/rollout dependence, so deeper unrolling
     buys ILP without any VMEM cost (unlike the grid kernels' windowed
     blocks): measured on the v5e drain at B=2048/T=100, tb 5/10/20 ->
-    88.5/87.8/87.1 us/step.  Env override IPOC_TIME_BLOCK (validated)."""
-    import os
+    88.5/87.8/87.1 us/step (25/50 probed: flat/negative — see
+    docs/PERFORMANCE.md lever-closure note).  Env override
+    IPOC_TIME_BLOCK (validated by the shared parser)."""
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import forced_time_block
 
-    forced = os.environ.get("IPOC_TIME_BLOCK", "")
-    if forced:
-        tb = int(forced)
-        if tb >= 1 and T % tb == 0:
-            return tb
-        import sys
-
-        print(
-            f"ipoc_tpu: IPOC_TIME_BLOCK={forced} rejected for the mega "
-            f"kernel (must be >= 1 and divide T={T}); using the auto pick",
-            file=sys.stderr,
-        )
+    tb = forced_time_block(T, "the mega kernel")
+    if tb is not None:
+        return tb
     for tb in (20, 16, 10, 8, 5, 4, 2):
         if T % tb == 0:
             return tb

@@ -320,6 +320,31 @@ def packed_stream_eligible(cfg: SolverConfig, dtype, nx: int,
     return True
 
 
+def batch_packed_eligible(cfg: SolverConfig, dtype, nx: int, nu: int,
+                          T: int, batch: int) -> bool:
+    """Gate for the lockstep batch resolver (:func:`solve_batch_packed`),
+    which is mega-kernel-ONLY (it has no two-launch mode): the packed
+    stream gate PLUS the mega kill switches (IPOC_MEGA_KERNEL, and
+    IPOC_MEGA_DDP for the DDP evaluator) PLUS the mega resident set
+    fitting VMEM at some sublane depth >= 8 (the executor's S-cap always
+    lands on S=8, so fit-at-8 decides).  Dispatchers (bench.py nmpc mode,
+    examples/nonlinear_mpc.py) must use this so that long horizons — and
+    a disabled mega kernel — fall back to the vmapped NMPC loop instead
+    of raising at trace time inside :func:`solve_batch_packed`."""
+    import os
+
+    from ipoc_tpu.ops.pallas.mega_kernel import mega_fits
+
+    if not packed_stream_eligible(cfg, dtype, nx, batch, T=T, nu=nu):
+        return False
+    if os.environ.get("IPOC_MEGA_KERNEL", "1") != "1":
+        return False
+    if (cfg.newton_impl == "ddp"
+            and os.environ.get("IPOC_MEGA_DDP", "1") != "1"):
+        return False
+    return mega_fits(T, nx, nu, 8, dtype)
+
+
 def solve_stream_packed(
     ocp: OCP,
     controls,        # (N, T, nu) per-scenario warm starts
@@ -384,7 +409,12 @@ def solve_stream_packed(
             S //= 2
         if not mega_fits(T, nx, nu, S, dtype):
             use_mega = False
-            S = _stream_sublanes(B)
+            # Restore the two-launch path's preferred depth, KEEPING the
+            # S=8 floor established above (a sub-8 _stream_sublanes value
+            # here means IPOC_PACKED_FORCE=1 already passed that guard —
+            # resetting below 8 would hand the kernels an unsupported
+            # sublane depth).
+            S = max(_stream_sublanes(B), 8)
     if cfg.newton_impl == "ddp" and not use_mega:
         # The merged DDP kernel's gains ring must fit VMEM: cap the
         # sublane depth to the largest fitting S (more batch chunks, same
@@ -525,6 +555,11 @@ def solve_batch_packed(
 
     Returns ``(controls (B,T,nu), iterations (B,) int32)``.
 
+    Mega-kernel-only (no two-launch mode): dispatchers must gate with
+    :func:`batch_packed_eligible`, which also honors the
+    IPOC_MEGA_KERNEL / IPOC_MEGA_DDP kill switches — a direct call here
+    always runs the mega kernel.
+
     Reference protocol anchor: warm-start-by-resolve MPC
     (/root/reference/examples/linear_mpc_parallel.py:67-81); the
     reference has no batching (one solve per call).
@@ -554,7 +589,11 @@ def solve_batch_packed(
     while S > 8 and not mega_fits(T, nx, nu, S, dtype):
         S //= 2
     if not mega_fits(T, nx, nu, S, dtype):
-        raise ValueError("solve_batch_packed: resident set exceeds VMEM")
+        raise ValueError(
+            "solve_batch_packed: the mega resident set exceeds VMEM even "
+            f"at S=8 (T={T}, nx={nx}, nu={nu}) — gate dispatch with "
+            "batch_packed_eligible and fall back to a vmapped solve"
+        )
     ddp = cfg.newton_impl == "ddp"
     chunk = S * LANES
     Bp = _ceil_to(B, chunk)

@@ -240,3 +240,52 @@ def test_nmpc_batched_resolver_sharded(monkeypatch):
 
     np.testing.assert_allclose(xs_sh, xs_ref, atol=1e-4)
     np.testing.assert_allclose(us_sh, us_ref, atol=1e-4)
+
+
+def test_batch_packed_eligible_gates(monkeypatch):
+    """Dispatch gate for the mega-only batch resolver: VMEM fit at long
+    horizons and the mega kill switches must fall back (return False)
+    instead of letting dispatchers trace into solve_batch_packed's
+    raise."""
+    from ipoc_tpu.solvers.packed_stream import batch_packed_eligible
+
+    cfg = ipoc_tpu.BATCH_CONFIG
+    monkeypatch.setenv("IPOC_PACKED_FORCE", "1")
+    set_pallas_scans("on")
+    try:
+        assert batch_packed_eligible(cfg, jnp.float32, 4, 1, 100, 2048)
+        # Cartpole-scale mega resident set stops fitting S=8 past T~214.
+        assert not batch_packed_eligible(cfg, jnp.float32, 4, 1, 256, 2048)
+        monkeypatch.setenv("IPOC_MEGA_KERNEL", "0")
+        assert not batch_packed_eligible(cfg, jnp.float32, 4, 1, 100, 2048)
+        monkeypatch.setenv("IPOC_MEGA_KERNEL", "1")
+        assert batch_packed_eligible(cfg, jnp.float32, 4, 1, 100, 2048)
+        monkeypatch.setenv("IPOC_MEGA_DDP", "0")
+        dcfg = cfg.replace(newton_impl="ddp")
+        assert not batch_packed_eligible(dcfg, jnp.float32, 4, 1, 100, 2048)
+    finally:
+        set_pallas_scans("auto")
+
+
+def test_forced_time_block_parse(monkeypatch, capsys):
+    """IPOC_TIME_BLOCK parsing is shared, validated, and never raises:
+    non-divisors and non-integers warn and fall back to the auto pick."""
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import (
+        forced_time_block,
+        pick_time_block,
+    )
+    from ipoc_tpu.ops.pallas.mega_kernel import _mega_time_block
+
+    monkeypatch.delenv("IPOC_TIME_BLOCK", raising=False)
+    assert forced_time_block(100, "t") is None
+    monkeypatch.setenv("IPOC_TIME_BLOCK", "25")
+    assert forced_time_block(100, "t") == 25
+    assert _mega_time_block(100) == 25
+    assert pick_time_block(100) == 25
+    monkeypatch.setenv("IPOC_TIME_BLOCK", "7")      # does not divide T
+    assert forced_time_block(100, "t") is None
+    monkeypatch.setenv("IPOC_TIME_BLOCK", "auto")   # non-integer
+    assert forced_time_block(100, "t") is None      # warns, no ValueError
+    assert "rejected" in capsys.readouterr().err
+    assert pick_time_block(100) == 5
+    assert _mega_time_block(100) == 20
