@@ -915,7 +915,7 @@ def _fused_iter_merged_kernel(*refs, nx, nu, T, stage_b, term_b, stage_f,
 
     ``ddp=True`` switches both phases to IP-DDP semantics (reference
     differential_dynamic_programming.py:28-90, solvers/ip_ddp.py
-    ddp_trial_eval): the Hamiltonian stage data is contracted with the
+    ddp_bwd_pass + closed_loop_rollout): the Hamiltonian stage data is contracted with the
     VALUE GRADIENT ``Vx`` instead of the costates (so ``Qu = Hu``,
     ``Qx = Hx`` directly, no separate costate recursion), the terminal
     value carries ``Vx_T = grad(final_cost)``, the predicted reduction is
@@ -1475,8 +1475,8 @@ def make_fused_iter(ocp: OCP):
 
 def _fused_ddp_reference(ocp: OCP, x, u, bp, reg):
     """Unbatched reference composition of the fused DDP iteration
-    (solvers/ip_ddp.py ddp_trial_eval with the ``||cu||`` reg scale hoisted
-    out, matching the kernel's interface).  Reference semantics:
+    (solvers/ip_ddp.py ddp_bwd_pass + nonlinear closed_loop_rollout with
+    the ``||cu||`` reg scale hoisted out, matching the kernel's interface).  Reference semantics:
     differential_dynamic_programming.py:28-90."""
     from ipoc_tpu.ops.derivatives import compute_derivatives
     from ipoc_tpu.solvers.ip_ddp import ddp_bwd_core

@@ -52,6 +52,16 @@ def global_mesh(time: int = 1) -> Mesh:
         raise ValueError(
             f"time={time} shards would span hosts (local devices: {local})"
         )
+    if local % time != 0:
+        # Host-major rows of length ``time`` stay within one host only
+        # when ``time`` divides the per-host device count — e.g. 8 local
+        # devices with time=6 would put devices 6..11 (two hosts) in one
+        # time group, silently moving every scan-combine collective onto
+        # DCN.
+        raise ValueError(
+            f"time={time} does not divide the per-host device count "
+            f"{local}; time groups would straddle hosts (DCN)"
+        )
     return Mesh(devices.reshape(n // time, time), ("batch", "time"))
 
 

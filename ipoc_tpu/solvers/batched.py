@@ -17,13 +17,12 @@ dispatch boundaries).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ipoc_tpu.config import DEFAULT_CONFIG, SolverConfig
 from ipoc_tpu.problem import OCP

@@ -40,6 +40,33 @@ class CheckpointedBatchRunner:
                 return json.load(f)
         return {"chunks_done": []}
 
+    def _check_identity(self, n: int, horizon: int, nu: int) -> dict:
+        """Refuse to resume a run whose chunking/campaign shape changed.
+
+        Chunk files are keyed by index only, so resuming with a different
+        ``chunk_size`` or scenario-set shape would silently splice stale
+        chunks into the result at the wrong offsets.  The manifest records
+        the campaign identity on first run and must match on resume
+        (delete the directory to start over)."""
+        m = self._manifest()
+        ident = {"chunk_size": self.chunk_size, "n": n,
+                 "horizon": horizon, "nu": nu}
+        recorded = m.get("identity")
+        if recorded is None:
+            m["identity"] = ident
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, self._manifest_path)
+        elif recorded != ident:
+            raise ValueError(
+                f"checkpoint directory {self.directory!r} was written by a "
+                f"run with {recorded}, resumed with {ident}; finished "
+                "chunks would splice at wrong offsets — use a fresh "
+                "directory (or delete this one) to change the campaign"
+            )
+        return m
+
     def _mark_done(self, idx: int):
         m = self._manifest()
         if idx not in m["chunks_done"]:
@@ -82,10 +109,10 @@ class CheckpointedBatchRunner:
         ``solve_fn(u_chunk, x_chunk) -> BatchSolution`` may override the
         default vmapped solve (e.g. with a mesh-sharded one).
         """
-        n = controls.shape[0]
+        n, horizon, nu = controls.shape
         if solve_fn is None:
             solve_fn = lambda u, x: solve_batch(ocp, u, x, cfg, method)
-        done = set(self._manifest()["chunks_done"])
+        done = set(self._check_identity(n, horizon, nu)["chunks_done"])
         out = []
         for idx, start in enumerate(range(0, n, self.chunk_size)):
             end = min(start + self.chunk_size, n)

@@ -78,35 +78,6 @@ def ddp_bwd_core(final_cost, final_state, d: Derivatives, rp):
     return ffgain, gain, jnp.sum(dV), jnp.all(pos_def), Qu
 
 
-def ddp_trial_eval(ocp: OCP, x, u, bp, rp, cfg: SolverConfig):
-    """One DDP trial evaluation with the Newton-solver trial interface:
-    ``(cost, temp_x, temp_u, pred, bwd_feasible, Hu_norm, new_cost)``.
-
-    This is what plugs DDP into the single-trial/flat/stream throughput
-    machinery (cfg.newton_impl="ddp"; ip_newton._trial_eval dispatches
-    here): the full derivative set, the Vx-contracted backward pass
-    (reference ddp:28-70) and the NONLINEAR closed-loop re-rollout
-    (ddp:73-90) evaluated once per iteration with explicit accept/reject —
-    the same single-trial deviation from the reference's inner retry loop
-    as the Newton "single" globalization (SolverConfig.globalization),
-    recomputing derivatives per trial instead of reusing them across
-    retries (ddp:112).
-    """
-    cost = ocp.total_cost(x, u, bp)
-    d = compute_derivatives(ocp, x, u, bp)
-    ffgain, gain, pred, bwd_feasible, Qu = ddp_bwd_pass(
-        ocp.final_cost, x[-1], d, rp, cfg.reg_scale_floor
-    )
-    temp_x, temp_u = closed_loop_rollout(ocp.dynamics, gain, ffgain, x, u)
-    Hu_norm = jnp.max(jnp.abs(Qu))
-    new_cost = jnp.where(
-        check_feasibility(ocp, temp_x, temp_u),
-        ocp.total_cost(temp_x, temp_u, bp),
-        jnp.inf,
-    )
-    return cost, temp_x, temp_u, pred, bwd_feasible, Hu_norm, new_cost
-
-
 def _ddp_stage(ocp: OCP, controls, initial_state, bp, cfg: SolverConfig):
     """One barrier stage of IP-DDP (reference ddp:98-186): outer Newton loop
     with derivatives computed once per iteration, inner trust-region loop

@@ -324,7 +324,7 @@ def _trial_eval(ocp: OCP, x, u, bp, rp, cfg: SolverConfig):
         # ONE-launch merged kernel in DDP mode (value-gradient-contracted
         # backward sweep + nonlinear re-rollout in-kernel); elsewhere the
         # custom_vmap falls back to the unfused composition
-        # (ddp_trial_eval semantics with the reg scale hoisted out).
+        # (_fused_ddp_reference: ip_ddp semantics, reg scale hoisted out).
         from ipoc_tpu.ops.pallas.fused_iter_kernel import make_fused_ddp_iter
 
         cu = jax.vmap(

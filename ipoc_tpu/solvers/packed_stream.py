@@ -261,14 +261,24 @@ def packed_lane_iter(ocp: OCP, lane: PackedLane, cfg: SolverConfig,
     )
 
 
+def _half_sublanes(S: int) -> int:
+    """One VMEM-fit halving step that preserves the packed paths' sublane
+    contract (a multiple of 8, at least 8) even for env-forced
+    non-power-of-two starts (IPOC_KERNEL_SUBLANES=24: 24 -> 12 would hand
+    the kernels an unsupported (12, 128) tile; this gives 24 -> 8)."""
+    h = S // 2
+    return max(8, h - h % 8)
+
+
 def _fit_ddp_sublanes(S: int, T: int, nx: int, nu: int, dtype):
-    """Largest sublane depth <= ``S`` (>= 8) whose merged-DDP gains ring
-    fits VMEM, or ``None`` if even S=8 does not fit.  Shared by the
-    eligibility gate and the packed executor so the cap cannot drift."""
+    """Largest sublane depth <= ``S`` (>= 8, multiple of 8) whose
+    merged-DDP gains ring fits VMEM, or ``None`` if even S=8 does not
+    fit.  Shared by the eligibility gate and the packed executor so the
+    cap cannot drift."""
     from ipoc_tpu.ops.pallas.fused_iter_kernel import _merged_fits
 
     while S > 8 and not _merged_fits(T, nx, nu, S, dtype):
-        S //= 2
+        S = _half_sublanes(S)
     return S if _merged_fits(T, nx, nu, S, dtype) else None
 
 
@@ -315,7 +325,21 @@ def packed_stream_eligible(cfg: SolverConfig, dtype, nx: int,
             return False
         if T is None or nu is None:
             return False
-        if _fit_ddp_sublanes(S, T, nx, nu, dtype) is None:
+        # Mirror the executor's dispatch exactly: DDP runs through the
+        # resident MEGA kernel when enabled (S caps to 8, so fit-at-8
+        # decides), and only needs the merged two-launch kernel's gains
+        # ring to fit when the mega path is off or does not fit.  Without
+        # the mega_ok arm, a workload the mega path handles fine would be
+        # routed to the unpacked stream — whose DDP fallback is the
+        # compile-killing unfused vmap (docs/PERFORMANCE.md).
+        from ipoc_tpu.ops.pallas.mega_kernel import mega_fits
+
+        mega_ok = (
+            os.environ.get("IPOC_MEGA_KERNEL", "1") == "1"
+            and os.environ.get("IPOC_MEGA_DDP", "1") == "1"
+            and mega_fits(T, nx, nu, 8, dtype)
+        )
+        if not mega_ok and _fit_ddp_sublanes(S, T, nx, nu, dtype) is None:
             return False
     return True
 
@@ -406,7 +430,7 @@ def solve_stream_packed(
         from ipoc_tpu.ops.pallas.mega_kernel import mega_fits
 
         while S > 8 and not mega_fits(T, nx, nu, S, dtype):
-            S //= 2
+            S = _half_sublanes(S)
         if not mega_fits(T, nx, nu, S, dtype):
             use_mega = False
             # Restore the two-launch path's preferred depth, KEEPING the
@@ -587,7 +611,7 @@ def solve_batch_packed(
         else:
             raise ValueError("solve_batch_packed needs >= 8 sublanes")
     while S > 8 and not mega_fits(T, nx, nu, S, dtype):
-        S //= 2
+        S = _half_sublanes(S)
     if not mega_fits(T, nx, nu, S, dtype):
         raise ValueError(
             "solve_batch_packed: the mega resident set exceeds VMEM even "

@@ -24,7 +24,6 @@ single GPU); this module is new TPU-native surface.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -34,7 +33,6 @@ from jax import lax
 from ipoc_tpu.config import DEFAULT_CONFIG, SolverConfig
 from ipoc_tpu.problem import OCP
 from ipoc_tpu.solvers.ip_newton import (
-    FlatLane,
     flat_lane_init,
     flat_lane_iter,
     flat_total_cap,
@@ -362,6 +360,7 @@ def solve_stream_sharded(
     lanes: int = 2048,
     refill_every: int = 16,
     axis_name: str = "batch",
+    **stream_kwargs,
 ) -> StreamSolution:
     """Shard the scenario pool over a mesh axis; one stream per shard.
 
@@ -369,14 +368,17 @@ def solve_stream_sharded(
     slice with ``lanes`` resident lanes); the only collective cost is the
     final gather of per-shard outputs.  ``steps`` returns the MAXIMUM
     lockstep step count over shards (the slowest shard bounds wall clock).
+    Extra keyword arguments (``inner_unroll``, ...) forward to
+    :func:`solve_stream` per shard; the per-scenario ``bp_init``/``rp_init``
+    overrides are not forwardable here (they would need their own
+    ``in_specs``) — pre-fold them into ``cfg`` or use the unsharded entry.
     """
-    import jax
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def shard_fn(u0, x0):
         sol = solve_stream(ocp, u0, x0, cfg, lanes=lanes,
-                           refill_every=refill_every)
+                           refill_every=refill_every, **stream_kwargs)
         steps = jax.lax.pmax(sol.steps, axis_name)
         return sol.controls, sol.iterations, steps
 
@@ -401,19 +403,23 @@ def solve_stream_multigrid_sharded(
     lanes: int = 2048,
     refill_every: int = 16,
     axis_name: str = "batch",
+    **mg_kwargs,
 ) -> MultigridSolution:
     """Shard the scenario pool over a mesh axis; one multigrid stream per
     shard (coarse solve, interpolation, fine re-entry and the per-scenario
     fallback all stay shard-local — embarrassingly parallel like
-    :func:`solve_stream_sharded`)."""
-    import jax
+    :func:`solve_stream_sharded`).  Extra keyword arguments
+    (``coarse_impl="ddp"`` — the switched-lane quality fix the bench mg
+    mode defaults to — ``fine_impl``, ``fine_bp_init``, ``fine_reg_init``,
+    ``coarse_solver``, ``inner_unroll``) forward to
+    :func:`solve_stream_multigrid` per shard."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def shard_fn(u0, x0):
         sol = solve_stream_multigrid(
             ocp, ocp_coarse, coarsen, u0, x0, cfg, lanes=lanes,
-            refill_every=refill_every)
+            refill_every=refill_every, **mg_kwargs)
         steps = jax.lax.pmax(sol.steps, axis_name)
         steps_c = jax.lax.pmax(sol.steps_coarse, axis_name)
         return (sol.controls, sol.iterations, sol.iterations_coarse,

@@ -109,6 +109,59 @@ def _next_costates_sharded(ocp: OCP, d: Derivatives, xT, axis_name):
     return shift_left_across_shards(lam, lam_T, axis_name)
 
 
+def _stage_quantities_sharded(ocp: OCP, cfg: SolverConfig, axis_name,
+                              xs, xT, u, bp):
+    """Once-per-iteration trial inputs for one horizon-sharded scenario:
+    cost, first-order stage data, Newton-LQR quantities, the GLOBAL
+    ``||cu||_F`` Levenberg scale (reference par:116-118; ``None`` when
+    ``scale_reg_by_grad`` is off) and the terminal weight (the ``XT=Q[0]``
+    quirk under ``terminal_hessian="reference"``, par:74 — global stage 0
+    lives on shard 0).  Shared by the staged solver's retry/single bodies
+    and the batched flat evaluator so the trial math cannot drift."""
+    cost = _total_cost_sharded(ocp, xs, u, xT, bp, axis_name)
+    d = first_order_stages(ocp, xs, u, bp)
+    lam_next = _next_costates_sharded(ocp, d, xT, axis_name)
+    lin = hamiltonian_lqr_stages(ocp, xs, u, lam_next, bp)
+    if cfg.scale_reg_by_grad:
+        nrm = jnp.sqrt(lax.psum(jnp.sum(d.cu * d.cu), axis_name))
+    else:
+        nrm = None
+    if cfg.terminal_hessian == "reference":
+        XT = lax.all_gather(lin.Q[0], axis_name)[0]
+    else:
+        XT = hessian(ocp.final_cost)(xT)
+    return cost, d, lin, nrm, XT
+
+
+def _trial_step_sharded(ocp: OCP, cfg: SolverConfig, axis_name,
+                        xs, xT, u, x0, bp, rp, d, lin, nrm, XT):
+    """One regularized LQT trial from precomputed stage quantities:
+    ``(temp_xs, temp_xT, temp_u, pred, bwd_feasible, Hu_norm, new_cost)``."""
+    dtype = u.dtype
+    nu = u.shape[-1]
+    reg = rp if nrm is None else rp * jnp.maximum(
+        nrm, jnp.asarray(cfg.reg_scale_floor, dtype))
+    eye_u = jnp.eye(nu, dtype=dtype)
+    lin_reg = LinearizedOCP(lin.r, lin.Q, lin.R + reg * eye_u, lin.M)
+    lqt = newton_lqt(lin_reg, d, XT)
+    Kx, kff, _, _, pred, bwd_feasible = par_bwd_pass_time_sharded(
+        lqt, axis_name
+    )
+    du, dxs, dxT = par_fwd_pass_time_sharded(
+        lqt, jnp.zeros_like(x0), Kx, kff, axis_name, with_terminal=True
+    )
+    temp_u = u + du
+    temp_xs = xs + dxs
+    temp_xT = xT + dxT
+    Hu_norm = lax.pmax(jnp.max(jnp.abs(lin.r)), axis_name)
+    new_cost = jnp.where(
+        _feasible_sharded(ocp, temp_xs, temp_u, axis_name),
+        _total_cost_sharded(ocp, temp_xs, temp_u, temp_xT, bp, axis_name),
+        jnp.inf,
+    )
+    return temp_xs, temp_xT, temp_u, pred, bwd_feasible, Hu_norm, new_cost
+
+
 def _newton_stage_sharded(ocp: OCP, u_local, x0, bp, cfg: SolverConfig,
                           axis_name):
     """One barrier stage, horizon-sharded — single-trial OR retry
@@ -130,54 +183,20 @@ def _newton_stage_sharded(ocp: OCP, u_local, x0, bp, cfg: SolverConfig,
     init_norm = jnp.where(start_ok, jnp.asarray(1.0, dtype),
                           jnp.asarray(jnp.nan, dtype))
     tol = jnp.maximum(jnp.asarray(cfg.tol, dtype), cfg.stage_tol_scale * bp)
-    nu = u_local.shape[-1]
-    eye_u = jnp.eye(nu, dtype=dtype)
     retry = cfg.globalization == "retry"
 
     def body(val):
         xs, xT, u, t, rp, r_inc, _ = val
-        cost = _total_cost_sharded(ocp, xs, u, xT, bp, axis_name)
-        d = first_order_stages(ocp, xs, u, bp)
-        lam_next = _next_costates_sharded(ocp, d, xT, axis_name)
-        lin = hamiltonian_lqr_stages(ocp, xs, u, lam_next, bp)
-
-        # Levenberg scale by the GLOBAL ||cu||_F (reference par:116-118);
-        # fixed across retries (the reference re-solves with new reg only).
-        if cfg.scale_reg_by_grad:
-            nrm = jnp.sqrt(lax.psum(jnp.sum(d.cu * d.cu), axis_name))
-        else:
-            nrm = None
-        if cfg.terminal_hessian == "reference":
-            # XT = Q[0] quirk (par:74): global stage 0 lives on shard 0.
-            XT = lax.all_gather(lin.Q[0], axis_name)[0]
-        else:
-            XT = hessian(ocp.final_cost)(xT)
+        # Once-per-Newton-iteration block, fixed across retries (the
+        # reference recomputes only the regularized solve per retry,
+        # par:139-149 vs par:184-188).
+        cost, d, lin, nrm, XT = _stage_quantities_sharded(
+            ocp, cfg, axis_name, xs, xT, u, bp)
 
         def trial_once(rp):
-            reg = rp if nrm is None else rp * jnp.maximum(
-                nrm, jnp.asarray(cfg.reg_scale_floor, dtype))
-            lin_reg = LinearizedOCP(lin.r, lin.Q, lin.R + reg * eye_u,
-                                    lin.M)
-            lqt = newton_lqt(lin_reg, d, XT)
-            Kx, kff, _, _, pred, bwd_feasible = par_bwd_pass_time_sharded(
-                lqt, axis_name
-            )
-            du, dxs, dxT = par_fwd_pass_time_sharded(
-                lqt, jnp.zeros_like(x0), Kx, kff, axis_name,
-                with_terminal=True
-            )
-            temp_u = u + du
-            temp_xs = xs + dxs
-            temp_xT = xT + dxT
-            Hu_norm = lax.pmax(jnp.max(jnp.abs(lin.r)), axis_name)
-            new_cost = jnp.where(
-                _feasible_sharded(ocp, temp_xs, temp_u, axis_name),
-                _total_cost_sharded(ocp, temp_xs, temp_u, temp_xT, bp,
-                                    axis_name),
-                jnp.inf,
-            )
-            return (temp_xs, temp_xT, temp_u, pred, bwd_feasible, Hu_norm,
-                    new_cost)
+            return _trial_step_sharded(
+                ocp, cfg, axis_name, xs, xT, u, x0, bp, rp, d, lin, nrm,
+                XT)
 
         if retry:
             # Inner retry loop (mirrors ip_newton._newton_stage_par):
@@ -317,25 +336,17 @@ def ip_newton_time_sharded(
 
 def _make_sharded_run(ocp: OCP, cfg: SolverConfig, axis_name: str):
     """Per-scenario barrier-loop body of the time-sharded solve (shared by
-    the single-scenario and batched entry points)."""
+    the single-scenario and batched entry points).  The schedule itself is
+    the one shared driver (solvers/barrier.barrier_loop) — the stage solve
+    is the only sharded part."""
+    from ipoc_tpu.solvers.barrier import barrier_loop
 
     def run(u_local, x0):
-        dtype = u_local.dtype
-        bp0 = jnp.asarray(cfg.bp_init, dtype)
-
-        def stage_body(val):
-            u, bp, total = val
-            u, iters = _newton_stage_sharded(ocp, u, x0, bp, cfg, axis_name)
-            return u, bp / cfg.bp_decay, total + iters
-
-        def stage_cond(val):
-            return val[1] > cfg.bp_min
-
-        u, _, total = lax.while_loop(
-            stage_cond, stage_body,
-            (u_local, bp0, jnp.asarray(0, jnp.int32)),
+        return barrier_loop(
+            lambda u, bp: _newton_stage_sharded(ocp, u, x0, bp, cfg,
+                                                axis_name),
+            u_local, cfg,
         )
-        return u, total
 
     return run
 
@@ -348,42 +359,11 @@ def _trial_eval_sharded(ocp: OCP, cfg: SolverConfig, axis_name):
     ip_newton._trial_eval in sharded form."""
 
     def eval_one(xs, xT, u, x0, bp, rp):
-        dtype = u.dtype
-        nu = u.shape[-1]
-        cost = _total_cost_sharded(ocp, xs, u, xT, bp, axis_name)
-        d = first_order_stages(ocp, xs, u, bp)
-        lam_next = _next_costates_sharded(ocp, d, xT, axis_name)
-        lin = hamiltonian_lqr_stages(ocp, xs, u, lam_next, bp)
-        if cfg.scale_reg_by_grad:
-            nrm = jnp.sqrt(lax.psum(jnp.sum(d.cu * d.cu), axis_name))
-            reg = rp * jnp.maximum(
-                nrm, jnp.asarray(cfg.reg_scale_floor, dtype)
-            )
-        else:
-            reg = rp
-        eye_u = jnp.eye(nu, dtype=dtype)
-        lin_reg = LinearizedOCP(lin.r, lin.Q, lin.R + reg * eye_u, lin.M)
-        if cfg.terminal_hessian == "reference":
-            XT = lax.all_gather(lin.Q[0], axis_name)[0]
-        else:
-            XT = hessian(ocp.final_cost)(xT)
-        lqt = newton_lqt(lin_reg, d, XT)
-        Kx, kff, _, _, pred, bwd_feasible = par_bwd_pass_time_sharded(
-            lqt, axis_name
-        )
-        du, dxs, dxT = par_fwd_pass_time_sharded(
-            lqt, jnp.zeros_like(x0), Kx, kff, axis_name, with_terminal=True
-        )
-        temp_u = u + du
-        temp_xs = xs + dxs
-        temp_xT = xT + dxT
-        Hu_norm = lax.pmax(jnp.max(jnp.abs(lin.r)), axis_name)
-        new_cost = jnp.where(
-            _feasible_sharded(ocp, temp_xs, temp_u, axis_name),
-            _total_cost_sharded(ocp, temp_xs, temp_u, temp_xT, bp,
-                                axis_name),
-            jnp.inf,
-        )
+        cost, d, lin, nrm, XT = _stage_quantities_sharded(
+            ocp, cfg, axis_name, xs, xT, u, bp)
+        (temp_xs, temp_xT, temp_u, pred, bwd_feasible, Hu_norm,
+         new_cost) = _trial_step_sharded(
+            ocp, cfg, axis_name, xs, xT, u, x0, bp, rp, d, lin, nrm, XT)
         return (cost, temp_xs, temp_xT, temp_u, pred, bwd_feasible,
                 Hu_norm, new_cost)
 

@@ -105,3 +105,32 @@ def test_checkpoint_partial_resume(tmp_path):
     sol = runner.run(ocp, u0, x0b, cfg, solve_fn=counting_solve)
     assert calls == [2]  # only chunk 1
     np.testing.assert_allclose(sol.controls[:2], sol0.controls)
+
+
+def test_checkpoint_identity_guard(tmp_path):
+    """Resuming with a different chunk_size or campaign shape must REFUSE
+    (index-keyed chunk files would splice at wrong offsets), not silently
+    mix stale chunks into the result."""
+    ocp = pendulum.make_ocp(0.05)
+    x0 = pendulum.initial_state(jnp.float64)
+    u0, x0b = make_batch(
+        jax.random.PRNGKey(1), x0, n=4, horizon=12, nu=1,
+        state_scale=0.02, dtype=jnp.float64,
+    )
+    cfg = ipoc_tpu.FAST_CONFIG.replace(max_newton_iters=30)
+    runner = CheckpointedBatchRunner(str(tmp_path / "ckid"), chunk_size=2)
+    runner.run(ocp, u0, x0b, cfg)
+
+    # Different chunking over the same campaign: refuse.
+    bad = CheckpointedBatchRunner(str(tmp_path / "ckid"), chunk_size=1)
+    with pytest.raises(ValueError, match="chunk"):
+        bad.run(ocp, u0, x0b, cfg)
+
+    # Different scenario-set shape: refuse.
+    same = CheckpointedBatchRunner(str(tmp_path / "ckid"), chunk_size=2)
+    with pytest.raises(ValueError):
+        same.run(ocp, u0[:2], x0b[:2], cfg)
+
+    # Unchanged identity still resumes cleanly.
+    sol = same.run(ocp, u0, x0b, cfg)
+    assert sol.controls.shape == (4, 12, 1)

@@ -5,7 +5,7 @@ The reference ships IP-DDP as a peer of the Newton solvers
 (derivatives + Vx-contracted backward pass + nonlinear re-rollout,
 ddp:28-90) plugs into the same single-trial/flat/stream executors as the
 Newton step, so batched DDP throughput gets the identical lane machinery
-(solvers/ip_ddp.py ddp_trial_eval).
+(ip_newton._trial_eval's ddp branch / fused_iter_kernel DDP mode).
 """
 
 import os
