@@ -107,6 +107,27 @@ def mega_fits(T: int, nx: int, nu: int, S: int, dtype) -> bool:
             <= _MEGA_VMEM_BUDGET)
 
 
+def mega_dispatch_ok(cfg, T: int, nx: int, nu: int, dtype) -> bool:
+    """ONE mega-path dispatch rule shared by the executor
+    (solve_stream_packed's ``use_mega``), the stream gate
+    (packed_stream_eligible's DDP arm) and the batch-resolver gate
+    (batch_packed_eligible), so the three cannot drift: the kill
+    switches (IPOC_MEGA_KERNEL, and IPOC_MEGA_DDP for the DDP
+    evaluator), a mega-capable ``newton_impl``, and the resident set
+    fitting VMEM at some sublane depth >= 8 (the executor's S-cap
+    always lands on S=8, so fit-at-8 decides)."""
+    import os
+
+    if os.environ.get("IPOC_MEGA_KERNEL", "1") != "1":
+        return False
+    if cfg.newton_impl == "ddp":
+        if os.environ.get("IPOC_MEGA_DDP", "1") != "1":
+            return False
+    elif cfg.newton_impl != "fused":
+        return False
+    return mega_fits(T, nx, nu, 8, dtype)
+
+
 def _mega_time_block(T: int) -> int:
     """Stages per in-kernel loop iteration.  The mega kernel's time loops
     carry a sequential Riccati/rollout dependence, so deeper unrolling

@@ -40,17 +40,22 @@ class CheckpointedBatchRunner:
                 return json.load(f)
         return {"chunks_done": []}
 
-    def _check_identity(self, n: int, horizon: int, nu: int) -> dict:
-        """Refuse to resume a run whose chunking/campaign shape changed.
+    def _check_identity(self, n: int, horizon: int, nu: int,
+                        semantics: dict) -> dict:
+        """Refuse to resume a run whose chunking/campaign shape OR solver
+        semantics changed.
 
         Chunk files are keyed by index only, so resuming with a different
         ``chunk_size`` or scenario-set shape would silently splice stale
-        chunks into the result at the wrong offsets.  The manifest records
-        the campaign identity on first run and must match on resume
-        (delete the directory to start over)."""
+        chunks into the result at the wrong offsets — and resuming the
+        same-shaped campaign with a different cfg/method/dtype would
+        silently splice chunks solved under different solver settings into
+        one result.  The manifest records the campaign identity (shape +
+        a digest of cfg, the method, and the dtype) on first run and must
+        match on resume (delete the directory to start over)."""
         m = self._manifest()
         ident = {"chunk_size": self.chunk_size, "n": n,
-                 "horizon": horizon, "nu": nu}
+                 "horizon": horizon, "nu": nu, **semantics}
         recorded = m.get("identity")
         if recorded is None:
             m["identity"] = ident
@@ -109,10 +114,19 @@ class CheckpointedBatchRunner:
         ``solve_fn(u_chunk, x_chunk) -> BatchSolution`` may override the
         default vmapped solve (e.g. with a mesh-sharded one).
         """
+        import hashlib
+
         n, horizon, nu = controls.shape
+        custom = solve_fn is not None
         if solve_fn is None:
             solve_fn = lambda u, x: solve_batch(ocp, u, x, cfg, method)
-        done = set(self._check_identity(n, horizon, nu)["chunks_done"])
+        semantics = {
+            "cfg_digest": hashlib.sha256(repr(cfg).encode()).hexdigest()[:16],
+            "method": "<custom solve_fn>" if custom else method,
+            "dtype": str(jnp.asarray(controls).dtype),
+        }
+        done = set(
+            self._check_identity(n, horizon, nu, semantics)["chunks_done"])
         out = []
         for idx, start in enumerate(range(0, n, self.chunk_size)):
             end = min(start + self.chunk_size, n)

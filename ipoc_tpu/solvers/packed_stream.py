@@ -262,12 +262,15 @@ def packed_lane_iter(ocp: OCP, lane: PackedLane, cfg: SolverConfig,
 
 
 def _half_sublanes(S: int) -> int:
-    """One VMEM-fit halving step that preserves the packed paths' sublane
-    contract (a multiple of 8, at least 8) even for env-forced
-    non-power-of-two starts (IPOC_KERNEL_SUBLANES=24: 24 -> 12 would hand
-    the kernels an unsupported (12, 128) tile; this gives 24 -> 8)."""
-    h = S // 2
-    return max(8, h - h % 8)
+    """One VMEM-fit step down: the largest power of two strictly below
+    ``S`` (floor 8).  Preserves the packed paths' sublane contract (a
+    multiple of 8, at least 8) for env-forced non-power-of-two starts
+    AND tries every intermediate fitting depth (IPOC_KERNEL_SUBLANES=24
+    steps 24 -> 16 -> 8; a plain halving would skip the supported S=16)."""
+    p = 8
+    while p * 2 < S:
+        p *= 2
+    return p
 
 
 def _fit_ddp_sublanes(S: int, T: int, nx: int, nu: int, dtype):
@@ -325,20 +328,17 @@ def packed_stream_eligible(cfg: SolverConfig, dtype, nx: int,
             return False
         if T is None or nu is None:
             return False
-        # Mirror the executor's dispatch exactly: DDP runs through the
-        # resident MEGA kernel when enabled (S caps to 8, so fit-at-8
-        # decides), and only needs the merged two-launch kernel's gains
-        # ring to fit when the mega path is off or does not fit.  Without
-        # the mega_ok arm, a workload the mega path handles fine would be
-        # routed to the unpacked stream — whose DDP fallback is the
-        # compile-killing unfused vmap (docs/PERFORMANCE.md).
-        from ipoc_tpu.ops.pallas.mega_kernel import mega_fits
+        # Same dispatch rule as the executor (mega_dispatch_ok is shared
+        # with solve_stream_packed): DDP runs through the resident MEGA
+        # kernel when enabled, and only needs the merged two-launch
+        # kernel's gains ring to fit when the mega path is off or does
+        # not fit.  Without the mega_ok arm, a workload the mega path
+        # handles fine would be routed to the unpacked stream — whose
+        # DDP fallback is the compile-killing unfused vmap
+        # (docs/PERFORMANCE.md).
+        from ipoc_tpu.ops.pallas.mega_kernel import mega_dispatch_ok
 
-        mega_ok = (
-            os.environ.get("IPOC_MEGA_KERNEL", "1") == "1"
-            and os.environ.get("IPOC_MEGA_DDP", "1") == "1"
-            and mega_fits(T, nx, nu, 8, dtype)
-        )
+        mega_ok = mega_dispatch_ok(cfg, T, nx, nu, dtype)
         if not mega_ok and _fit_ddp_sublanes(S, T, nx, nu, dtype) is None:
             return False
     return True
@@ -355,18 +355,11 @@ def batch_packed_eligible(cfg: SolverConfig, dtype, nx: int, nu: int,
     examples/nonlinear_mpc.py) must use this so that long horizons — and
     a disabled mega kernel — fall back to the vmapped NMPC loop instead
     of raising at trace time inside :func:`solve_batch_packed`."""
-    import os
-
-    from ipoc_tpu.ops.pallas.mega_kernel import mega_fits
+    from ipoc_tpu.ops.pallas.mega_kernel import mega_dispatch_ok
 
     if not packed_stream_eligible(cfg, dtype, nx, batch, T=T, nu=nu):
         return False
-    if os.environ.get("IPOC_MEGA_KERNEL", "1") != "1":
-        return False
-    if (cfg.newton_impl == "ddp"
-            and os.environ.get("IPOC_MEGA_DDP", "1") != "1"):
-        return False
-    return mega_fits(T, nx, nu, 8, dtype)
+    return mega_dispatch_ok(cfg, T, nx, nu, dtype)
 
 
 def solve_stream_packed(
@@ -413,32 +406,20 @@ def solve_stream_packed(
     # the two-launch path at B=2048/K=32; headline 184.2k/279.7k
     # solves/s with an identical quality gate) — default ON for the
     # Newton/fused path; kill switch IPOC_MEGA_KERNEL=0 (trace-time).
-    # The resident set must fit VMEM (the mega path caps S — more chunks
-    # per launch — where the two-launch path would pick S=16/32).
-    use_mega = (
-        os.environ.get("IPOC_MEGA_KERNEL", "1") == "1"
-        and (cfg.newton_impl == "fused"
-             # DDP through the mega kernel (same resident structure, DDP
-             # backward/forward semantics): hardware-proven r4 — 86.7 vs
-             # 99.2 us/step for the merged-kernel packed DDP at
-             # B=2048/K=32 drain, identical steps and mean iterations.
-             # Kill switch IPOC_MEGA_DDP=0.
-             or (cfg.newton_impl == "ddp"
-                 and os.environ.get("IPOC_MEGA_DDP", "1") == "1"))
-    )
-    if use_mega:
-        from ipoc_tpu.ops.pallas.mega_kernel import mega_fits
+    # DDP runs through the same kernel (ddp=True; hardware-proven r4 —
+    # 86.7 vs 99.2 us/step for the merged-kernel packed DDP; kill switch
+    # IPOC_MEGA_DDP=0).  The dispatch rule is mega_dispatch_ok — ONE
+    # implementation shared with the eligibility gates.  The resident
+    # set must fit VMEM (the mega path caps S — more chunks per launch —
+    # where the two-launch path would pick S=16/32); past the resident
+    # cap the mega executor streams time windows through VMEM instead
+    # (mega_fits at S=8 covers both modes).
+    from ipoc_tpu.ops.pallas.mega_kernel import mega_dispatch_ok, mega_fits
 
+    use_mega = mega_dispatch_ok(cfg, T, nx, nu, dtype)
+    if use_mega:
         while S > 8 and not mega_fits(T, nx, nu, S, dtype):
             S = _half_sublanes(S)
-        if not mega_fits(T, nx, nu, S, dtype):
-            use_mega = False
-            # Restore the two-launch path's preferred depth, KEEPING the
-            # S=8 floor established above (a sub-8 _stream_sublanes value
-            # here means IPOC_PACKED_FORCE=1 already passed that guard —
-            # resetting below 8 would hand the kernels an unsupported
-            # sublane depth).
-            S = max(_stream_sublanes(B), 8)
     if cfg.newton_impl == "ddp" and not use_mega:
         # The merged DDP kernel's gains ring must fit VMEM: cap the
         # sublane depth to the largest fitting S (more batch chunks, same

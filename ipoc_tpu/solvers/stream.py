@@ -376,6 +376,15 @@ def solve_stream_sharded(
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    bad = {"bp_init", "rp_init"} & set(stream_kwargs)
+    if bad:
+        raise ValueError(
+            f"solve_stream_sharded: {sorted(bad)} cannot be forwarded — a "
+            "per-scenario array closed over the shard_map body would be "
+            "sliced identically on every shard (wrong per-scenario values); "
+            "pre-fold the override into cfg or use solve_stream"
+        )
+
     def shard_fn(u0, x0):
         sol = solve_stream(ocp, u0, x0, cfg, lanes=lanes,
                            refill_every=refill_every, **stream_kwargs)

@@ -22,6 +22,7 @@ def test_num_barrier_stages_default():
     assert n_barrier_stages(ipoc_tpu.DEFAULT_CONFIG) == 5
 
 
+@pytest.mark.smoke
 def test_solve_rich_api():
     ocp = pendulum.make_ocp(0.02)
     x0 = pendulum.initial_state(jnp.float64)

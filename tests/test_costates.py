@@ -1,5 +1,6 @@
 """Costate recursion tests: seq == par == hand-rolled Python loop."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +20,7 @@ def _setup(H=17):
     return ocp, x, d
 
 
+@pytest.mark.smoke
 def test_seq_equals_par():
     ocp, x, d = _setup()
     lam_seq = seq_costates(ocp, x[-1], d)

@@ -33,6 +33,7 @@ def _raw_cost(ocp, u, x0):
     return ocp.total_cost(x, u, 1e-9)
 
 
+@pytest.mark.smoke
 def test_ddp_flat_matches_staged_ddp_solution():
     """Flat-mode DDP (one while loop, per-lane bp) reaches the same optimum
     as the staged reference-structure interior_point_ddp."""

@@ -1,5 +1,6 @@
 """Derivative-engine tests against finite differences and shape contracts."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -100,6 +101,7 @@ def test_feasibility_check():
     assert bool(check_feasibility(ocp, x, u_edge))
 
 
+@pytest.mark.smoke
 def test_hamiltonian_lqr_matches_tensor_path():
     """compute_hamiltonian_lqr == compute_lqr_params(compute_derivatives):
     same Newton stage data without materializing dynamics curvature."""

@@ -30,7 +30,8 @@ SINGLE = ipoc_tpu.FAST_CONFIG.replace(
 )
 
 
-@pytest.mark.parametrize("merged", [False, True])
+@pytest.mark.parametrize(
+    "merged", [False, pytest.param(True, marks=pytest.mark.smoke)])
 @pytest.mark.parametrize("model", [
     pytest.param(cartpole, marks=pytest.mark.slow),
     pendulum,

@@ -58,6 +58,7 @@ def test_optimal_vs_brute_force(rng):
     np.testing.assert_allclose(np.asarray(u).ravel(), u_star, atol=1e-9)
 
 
+@pytest.mark.smoke
 def test_pred_reduction_exact_for_newton_case(rng):
     """With zero drift (the Newton-step LQT), pred_reduction equals the exact
     model-cost change of the full step from zero deviation."""

@@ -40,7 +40,8 @@ def _restore_gate():
     set_pallas_scans("auto")
 
 
-@pytest.mark.parametrize("predictor", [True, False])
+@pytest.mark.parametrize(
+    "predictor", [pytest.param(True, marks=pytest.mark.smoke), False])
 def test_mega_matches_packed_iters(predictor):
     """k=4 resident iterations == 4 packed_lane_iter steps (forced stage
     transitions via a tiny per-stage cap, with and without predictor)."""

@@ -1,5 +1,6 @@
 """Model-layer tests: dynamics, constraints, costs match reference configs."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,6 +93,7 @@ def test_cartpole_ode_values():
     np.testing.assert_allclose(dx, [-0.2, 0.3, cart_acc, pole_acc], rtol=1e-12)
 
 
+@pytest.mark.smoke
 def test_barrier_cost_matches_reference_formula():
     """barrier_ocp synthesizes exactly the hand-written reference cost
     (pendulum_runtime.py:40-51)."""

@@ -1,6 +1,7 @@
 """MPC driver tests (reference linear_mpc_parallel.py semantics):
 par and seq LQT passes must produce identical closed-loop trajectories."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +35,7 @@ def test_mpc_regulates_to_origin():
     assert float(jnp.linalg.norm(xs[-1])) < 1e-2
 
 
+@pytest.mark.smoke
 def test_nmpc_loop_runs_and_is_finite():
     ocp = pendulum.make_ocp(0.05)
     cfg = ipoc_tpu.FAST_CONFIG.replace(max_newton_iters=20)

@@ -25,6 +25,7 @@ def _setup(n=6, T=40):
     return ocp, ocp_c, u0, x0b
 
 
+@pytest.mark.smoke
 def test_multigrid_matches_single_grid_optimum():
     """Multigrid solutions satisfy the same final-stage criteria: raw costs
     match the single-grid stream (pendulum swing-up is basin-stable)."""

@@ -67,7 +67,7 @@ def _packed_init(ocp, u0, x0b, cfg):
 
 @pytest.mark.parametrize("predictor,impl", [
     (True, "fused"),
-    (False, "fused"),
+    pytest.param(False, "fused", marks=pytest.mark.smoke),
     pytest.param(True, "ddp", marks=pytest.mark.slow),
 ])
 def test_packed_lane_iter_matches_flat(predictor, impl):

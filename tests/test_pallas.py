@@ -38,6 +38,7 @@ def _restore_gate():
     pytest.param(2, marks=pytest.mark.slow),
     4,
 ])
+@pytest.mark.smoke
 def test_affine_suffix_scan(rng, T, n):
     F = jnp.array(rng.normal(size=(T, n, n)) * 0.5, dtype=jnp.float32)
     c = jnp.array(rng.normal(size=(T, n)), dtype=jnp.float32)

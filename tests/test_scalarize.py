@@ -50,7 +50,10 @@ def _compare(fn, shapes, seed=0):
     return sc_fn.stats
 
 
-@pytest.mark.parametrize("name", sorted(MODELS))
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=pytest.mark.smoke) if n == "pendulum" else n
+    for n in sorted(MODELS)
+])
 def test_scalarize_matches_block_lift(name):
     model, nu = MODELS[name]
     ocp = model.make_ocp(0.01)

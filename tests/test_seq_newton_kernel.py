@@ -93,6 +93,7 @@ def test_seq_kernel_infeasible_flag():
     assert not bool(ok[0])
 
 
+@pytest.mark.smoke
 def test_seq_costate_kernel_matches_scan():
     """The fused costate kernel (interpret) == seq_costates, batched."""
     from ipoc_tpu.ops.pallas.seq_newton_kernel import seq_costates_batched

@@ -79,6 +79,7 @@ def test_sharded_scan_reverse(devices):
     np.testing.assert_allclose(got[1], expected[1], atol=1e-11)
 
 
+@pytest.mark.smoke
 def test_time_sharded_lqt_solve(rng, devices):
     """Full time-sharded LQT solve == single-device parallel passes."""
     mesh = make_mesh(batch=1, time=8, devices=devices)

@@ -69,6 +69,7 @@ def test_linear_three_solver_agreement(linear_problem):
     np.testing.assert_allclose(u_par, u_ddp, atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_pendulum_three_solver_agreement(pendulum_problem):
     """Cross-method agreement on a constrained nonlinear problem
     (SURVEY §4 item 2)."""
@@ -186,6 +187,7 @@ def test_zero_warm_start_with_reg_floor(pendulum_problem):
     np.testing.assert_array_equal(np.asarray(u_d), np.asarray(u0))
 
 
+@pytest.mark.smoke
 def test_flat_barrier_matches_staged(pendulum_problem):
     """barrier_mode='flat' replays the staged single-trial solve per lane:
     same controls, same total iteration count."""

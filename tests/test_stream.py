@@ -41,6 +41,7 @@ def _flat_reference(ocp, u0, x0b):
     pytest.param(7, marks=pytest.mark.slow),
     16,
 ])
+@pytest.mark.smoke
 def test_stream_matches_flat(scenario_pool, lanes):
     """N=7 scenarios through 3 (refilling), 7 (exact), and 16 (clamped to N)
     lanes all reproduce the flat-mode per-scenario solutions."""

@@ -50,6 +50,7 @@ def test_sharded_rollout_matches_serial():
 
 
 @pytest.mark.parametrize("n_time", [pytest.param(2, marks=pytest.mark.slow), 8])
+@pytest.mark.smoke
 def test_time_sharded_solve_matches_unsharded(n_time):
     T = 64
     ocp = pendulum.make_ocp(1.0 / T)
