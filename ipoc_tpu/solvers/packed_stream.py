@@ -273,6 +273,27 @@ def _half_sublanes(S: int) -> int:
     return p
 
 
+def _mega_sublanes(S: int, T: int, nx: int, nu: int, dtype) -> int:
+    """Sublane depth for the mega executor, shared by the stream and the
+    batch resolver.  Prefer the RESIDENT kernel at the largest fitting
+    depth (hardware-proven at T<=214); past the resident cap, the largest
+    depth with a usable STREAMED time window — the S=16 packing is the
+    same per-instruction-overhead lever the two-launch kernels use, and
+    the streamed window shrinks with S instead of refusing (measured r5:
+    streamed S=8 lost to two-launch S=16 at T=400 by 15%).  Callers must
+    have passed mega_dispatch_ok, which guarantees S=8 works."""
+    from ipoc_tpu.ops.pallas.mega_kernel import mega_fits, stream_window
+
+    S_res = S
+    while S_res > 8 and not mega_fits(T, nx, nu, S_res, dtype):
+        S_res = _half_sublanes(S_res)
+    if mega_fits(T, nx, nu, S_res, dtype):
+        return S_res
+    while S > 8 and stream_window(T, nx, nu, S, dtype) is None:
+        S = _half_sublanes(S)
+    return S
+
+
 def _fit_ddp_sublanes(S: int, T: int, nx: int, nu: int, dtype):
     """Largest sublane depth <= ``S`` (>= 8, multiple of 8) whose
     merged-DDP gains ring fits VMEM, or ``None`` if even S=8 does not
@@ -373,10 +394,27 @@ def solve_stream_packed(
     rp_init=None,
     inner_unroll: int = 1,
     interpret: bool = False,
+    warm_transfer: bool = False,
+    transfer_bp: float = 0.02,
 ):
     """Packed-layout drop-in for ``solve_stream`` (same scheduling, same
     per-scenario results up to the documented ``||cu||`` summation-order
-    difference).  Returns a ``StreamSolution``."""
+    difference).  Returns a ``StreamSolution``.
+
+    ``warm_transfer`` (r5, VERDICT r4 #2 — the iteration-count axis):
+    when a lane finishes a scenario, the FRESH scenario that refills it
+    re-enters from the finished solution (the lane's own ``u`` — in an
+    iid perturbed-scenario pool every completed neighbor is an equally
+    good donor, and the same-lane donor costs zero data movement) at the
+    shortened barrier schedule ``transfer_bp`` (multigrid's fine
+    re-entry point, one decade in), skipping the cold bp=0.1 stage that
+    dominates cold solves (~66% of iterations).  A transferred start
+    whose barrier cost is non-finite at ``transfer_bp`` (infeasible for
+    the new scenario) falls back to the scenario's own cold start —
+    same fallback semantics as solve_stream_multigrid.  Like multigrid,
+    this changes which BASIN a multi-modal scenario lands in (the
+    transferred start decides), so the bench treats it as a gated mode,
+    not the quality-neutral headline."""
     from ipoc_tpu.ops.pallas.fused_iter_kernel import _pack_vec
     from ipoc_tpu.ops.pallas.seq_newton_kernel import (
         LANES,
@@ -409,17 +447,40 @@ def solve_stream_packed(
     # DDP runs through the same kernel (ddp=True; hardware-proven r4 —
     # 86.7 vs 99.2 us/step for the merged-kernel packed DDP; kill switch
     # IPOC_MEGA_DDP=0).  The dispatch rule is mega_dispatch_ok — ONE
-    # implementation shared with the eligibility gates.  The resident
-    # set must fit VMEM (the mega path caps S — more chunks per launch —
-    # where the two-launch path would pick S=16/32); past the resident
-    # cap the mega executor streams time windows through VMEM instead
-    # (mega_fits at S=8 covers both modes).
+    # implementation shared with the eligibility gates.
+    #
+    # Past the resident VMEM cap (T>~214 at cartpole scale) the mega
+    # executor STREAMS time windows through VMEM (r5,
+    # _mega_streamed_kernel).  Measured crossover on the B=2048 cartpole
+    # drain (identical steps/iterations; docs/PERFORMANCE.md r5
+    # section): the two-launch path wins the mid-range — 312 vs 333
+    # us/step at T=400, 391 vs 411 at T=500 (its per-iteration launch
+    # overhead amortizes over more grid steps) — while the streamed
+    # mega wins long horizons — 576 vs 659 at T=800 (-13%), 728 vs 890
+    # at T=1000 (-18%): the two-launch per-stage cost DEGRADES with T
+    # while the streamed kernel's improves.  So the fused path runs
+    # two-launch for resident-cap < T < IPOC_MEGA_STREAM_MIN_T
+    # (default 600) and streamed mega past it; IPOC_MEGA_STREAM_FORCE=1
+    # forces streamed everywhere (experiments).  DDP keeps streamed
+    # mega at ANY long T: it has NO packed two-launch alternative there
+    # (the merged kernel's gains ring stops fitting VMEM), so streamed
+    # mega is the only packed path at all.
+    import os as _os2
+
     from ipoc_tpu.ops.pallas.mega_kernel import mega_dispatch_ok, mega_fits
 
-    use_mega = mega_dispatch_ok(cfg, T, nx, nu, dtype)
+    try:
+        stream_min_t = int(_os2.environ.get("IPOC_MEGA_STREAM_MIN_T", "600"))
+    except ValueError:
+        stream_min_t = 600
+    use_mega = mega_dispatch_ok(cfg, T, nx, nu, dtype) and (
+        mega_fits(T, nx, nu, 8, dtype)
+        or cfg.newton_impl == "ddp"
+        or T >= stream_min_t
+        or _os2.environ.get("IPOC_MEGA_STREAM_FORCE", "0") == "1"
+    )
     if use_mega:
-        while S > 8 and not mega_fits(T, nx, nu, S, dtype):
-            S = _half_sublanes(S)
+        S = _mega_sublanes(S, T, nx, nu, dtype)
     if cfg.newton_impl == "ddp" and not use_mega:
         # The merged DDP kernel's gains ring must fit VMEM: cap the
         # sublane depth to the largest fitting S (more batch chunks, same
@@ -517,6 +578,20 @@ def solve_stream_packed(
         fresh = init_lanes(controls[src], initial_states[src],
                            bp_init[src], rp_init[src])
         take_p = _pack_scal(take, Bp, C, S, LANES)
+        if warm_transfer:
+            # Cross-scenario warm-start transfer: the fresh scenario
+            # re-enters from the finishing lane's own solution (already
+            # in the packed layout — zero data movement) at the
+            # shortened barrier schedule, falling back to its cold start
+            # when the transferred trajectory is infeasible for the new
+            # x0 (non-finite barrier cost -> fresh_w.done at init).
+            bpw_p = jnp.full((C, S, LANES), transfer_bp, dtype)
+            rpw_p = jnp.full((C, S, LANES), cfg.reg_init, dtype)
+            x0w_p = _pack_vec(initial_states[src], Bp, S)
+            fresh_w = packed_lane_init(ocp, lane.u, x0w_p, bpw_p, rpw_p,
+                                       cfg, interpret=interpret)
+            okw = jnp.logical_and(jnp.logical_not(fresh_w.done), take_p)
+            fresh = _sel(okw, fresh_w, fresh)
         lane = _sel(take_p, fresh, lane)
         sid = jnp.where(take, new_sid, sid)
         active = jnp.logical_and(
@@ -572,7 +647,10 @@ def solve_batch_packed(
     import os as _os
 
     from ipoc_tpu.ops.pallas.fused_iter_kernel import _pack_vec
-    from ipoc_tpu.ops.pallas.mega_kernel import mega_fits, mega_k_iterations
+    from ipoc_tpu.ops.pallas.mega_kernel import (
+        mega_k_iterations,
+        mega_supported,
+    )
     from ipoc_tpu.ops.pallas.seq_newton_kernel import (
         LANES,
         _ceil_to,
@@ -591,13 +669,13 @@ def solve_batch_packed(
             S = 8
         else:
             raise ValueError("solve_batch_packed needs >= 8 sublanes")
-    while S > 8 and not mega_fits(T, nx, nu, S, dtype):
-        S = _half_sublanes(S)
-    if not mega_fits(T, nx, nu, S, dtype):
+    S = _mega_sublanes(S, T, nx, nu, dtype)
+    if not mega_supported(T, nx, nu, dtype):
         raise ValueError(
-            "solve_batch_packed: the mega resident set exceeds VMEM even "
-            f"at S=8 (T={T}, nx={nx}, nu={nu}) — gate dispatch with "
-            "batch_packed_eligible and fall back to a vmapped solve"
+            "solve_batch_packed: the mega resident set exceeds VMEM at "
+            f"S=8 and no streamed time window exists (T={T}, nx={nx}, "
+            f"nu={nu}) — gate dispatch with batch_packed_eligible and "
+            "fall back to a vmapped solve"
         )
     ddp = cfg.newton_impl == "ddp"
     chunk = S * LANES

@@ -63,6 +63,7 @@ def solve_stream(
     bp_init=None,    # optional (N,) per-scenario barrier start (else cfg's)
     rp_init=None,    # optional (N,) per-scenario initial LM damping
     inner_unroll: int = 1,
+    warm_transfer: bool = False,
 ) -> StreamSolution:
     """Solve N scenarios with B = min(lanes, N) resident lanes, refilling.
 
@@ -113,7 +114,12 @@ def solve_stream(
         return solve_stream_packed(
             ocp, controls, initial_states, cfg, lanes=lanes,
             refill_every=refill_every, bp_init=bp_init, rp_init=rp_init,
-            inner_unroll=inner_unroll,
+            inner_unroll=inner_unroll, warm_transfer=warm_transfer,
+        )
+    if warm_transfer:
+        raise ValueError(
+            "warm_transfer requires the packed stream path "
+            "(solvers/packed_stream.py) — not eligible for this config"
         )
 
     if bp_init is None:

@@ -142,6 +142,45 @@ def test_merged_tb_matches_two_launch():
 
 
 @pytest.mark.slow
+def test_warm_transfer_same_optima_fewer_iters():
+    """Cross-scenario warm-start transfer (r5, VERDICT r4 #2): on the
+    basin-stable pendulum, the transferred generations converge to the
+    SAME per-scenario optima (raw cost equal to f32 rounding) with fewer
+    iterations than the cold stream.  (On multi-modal problems the
+    transfer changes basin selection — the documented gate; see
+    docs/PERFORMANCE.md round-5 iteration-axis section.)"""
+    from ipoc_tpu.solvers.packed_stream import solve_stream_packed
+    from ipoc_tpu.utils.integrators import rollout
+
+    cfg = ipoc_tpu.BATCH_CONFIG
+    Ts, N = 12, 2 * B
+    ocp = pendulum.make_ocp(1.0 / Ts)
+    x0 = pendulum.initial_state(jnp.float32)
+    u0, x0b = make_batch(jax.random.PRNGKey(5), x0, N, Ts, 1,
+                         state_scale=0.02, control_scale=0.1,
+                         dtype=jnp.float32)
+
+    set_pallas_scans("on")
+    with pltpu.force_tpu_interpret_mode():
+        cold = solve_stream_packed(ocp, u0, x0b, cfg, lanes=B,
+                                   interpret=True)
+        warm = solve_stream_packed(ocp, u0, x0b, cfg, lanes=B,
+                                   interpret=True, warm_transfer=True)
+
+    def raw_cost(u, xx):
+        xs = rollout(ocp.dynamics, u, xx)
+        return ocp.total_cost(xs, u, jnp.asarray(0.0, u.dtype))
+
+    c_c = np.asarray(jax.vmap(raw_cost)(cold.controls, x0b))
+    c_w = np.asarray(jax.vmap(raw_cost)(warm.controls, x0b))
+    rel = np.abs(c_w - c_c) / (np.abs(c_c) + 1e-9)
+    assert float(rel.max()) < 1e-4, "transferred optima drifted"
+    it_c = np.asarray(cold.iterations)[B:]
+    it_w = np.asarray(warm.iterations)[B:]
+    assert it_w.mean() < it_c.mean(), "transfer did not cut iterations"
+
+
+@pytest.mark.slow
 def test_packed_stream_end_to_end(monkeypatch):
     """solve_stream_packed (two-launch path) == solve_stream on a short
     barrier schedule.  IPOC_MEGA_KERNEL=0 pins the TWO-LAUNCH packed path
