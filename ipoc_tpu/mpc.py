@@ -100,3 +100,36 @@ def nmpc_loop_batched(solve_batch: Callable, plant: Callable, x0s, u_init,
     (_, _), (xs, us) = lax.scan(step, (x0s, u_init), xs=None,
                                 length=n_steps)
     return xs, us
+
+
+def nmpc_loop_batched_warm(solve_cold: Callable, solve_warm: Callable,
+                           plant: Callable, x0s, u_init, n_steps: int):
+    """Batched NMPC with warm barrier re-entry (r5, VERDICT r4 #4).
+
+    The FIRST resolve (cold ``u_init``, no plan to continue) runs
+    ``solve_cold`` — the full barrier schedule; every subsequent resolve
+    warm-starts from the controller's own previous plan and runs
+    ``solve_warm`` — typically ``solve_batch_packed(..., bp_entry=0.02)``,
+    which re-enters the barrier one decade in instead of replaying the
+    cold homotopy (plan continuity: same scenario, same basin; infeasible
+    warm starts fall back to the cold schedule per lane inside the
+    resolver).  Same return layout as :func:`nmpc_loop_batched`:
+    ``(states (n_steps,B,nx), controls (n_steps,B,nu))``.
+    """
+    vplant = jax.vmap(plant)
+    u_plans0 = solve_cold(u_init, x0s)
+    u0 = u_plans0[:, 0]
+    x1 = vplant(x0s, u0)
+
+    def step(carry, _):
+        xs, u_warm = carry
+        u_plans = solve_warm(u_warm, xs)
+        uk = u_plans[:, 0]
+        x_next = vplant(xs, uk)
+        return (x_next, u_plans), (x_next, uk)
+
+    (_, _), (xs_t, us_t) = lax.scan(step, (x1, u_plans0), xs=None,
+                                    length=n_steps - 1)
+    xs = jnp.concatenate([x1[None], xs_t], axis=0)
+    us = jnp.concatenate([u0[None], us_t], axis=0)
+    return xs, us

@@ -621,6 +621,7 @@ def solve_batch_packed(
     cfg: SolverConfig,
     k_block: int = 32,
     interpret: bool = False,
+    bp_entry: float | None = None,
 ):
     """Lockstep flat-mode batch solve in the packed layout (mega kernel).
 
@@ -688,6 +689,23 @@ def solve_batch_packed(
     rp0 = _pack_scal(jnp.full((B,), cfg.reg_init, dtype), Bp, C, S, LANES)
     lane = packed_lane_init(ocp, u_p, x0_p, bp0, rp0, cfg,
                             interpret=interpret)
+    if bp_entry is not None:
+        # Warm barrier entry (r5, VERDICT r4 #4): a warm-started resolve
+        # from the caller's OWN previous solution (NMPC plan shift —
+        # same scenario, same basin: plan continuity, not cross-scenario
+        # transfer) re-enters the schedule at ``bp_entry`` instead of
+        # replaying the cold bp_init homotopy.  Lanes whose warm start
+        # is infeasible (non-finite barrier cost at bp_entry) fall back
+        # to the full cold schedule — the multigrid fine re-entry
+        # fallback.  NOTE: entering warm with a start that is NOT
+        # near-optimal costs ~3x the iterations (the measured cold
+        # short-schedule negative, docs/PERFORMANCE.md r5) — callers
+        # must keep the first/cold resolve on the full schedule.
+        bpw = _pack_scal(jnp.full((B,), bp_entry, dtype), Bp, C, S, LANES)
+        lane_w = packed_lane_init(ocp, u_p, x0_p, bpw, rp0, cfg,
+                                  interpret=interpret)
+        okw = jnp.logical_not(lane_w.done)
+        lane = _sel(okw, lane_w, lane)
     active = _pack_scal(jnp.ones((B,), bool), Bp, C, S, LANES)
     max_blocks = flat_total_cap(cfg) // k_block + 2
 

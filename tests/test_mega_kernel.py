@@ -343,6 +343,50 @@ def test_solve_batch_packed_matches_flat():
 
 
 @pytest.mark.slow
+def test_batch_packed_bp_entry():
+    """Warm barrier re-entry (r5, VERDICT r4 #4): resolving from a
+    converged solution with ``bp_entry`` reaches the SAME optimum (equal
+    raw cost — converged controls sit in a flat valley, so costs are
+    the equality metric) in fewer iterations, and an infeasible warm
+    start falls back per lane to the full cold schedule (identical to
+    the plain cold call)."""
+    from ipoc_tpu.solvers.packed_stream import solve_batch_packed
+    from ipoc_tpu.utils.integrators import rollout
+
+    cfg = ipoc_tpu.BATCH_CONFIG
+    ocp, u0, x0b = _setup(cfg)
+
+    set_pallas_scans("on")
+    with pltpu.force_tpu_interpret_mode():
+        u_cold, it_cold = solve_batch_packed(ocp, u0, x0b, cfg, k_block=8,
+                                             interpret=True)
+        u_warm, it_warm = solve_batch_packed(ocp, u_cold, x0b, cfg,
+                                             k_block=8, interpret=True,
+                                             bp_entry=0.02)
+        # infeasible warm start (|u| beyond the pendulum bound 5):
+        # bp_entry lanes must fall back to the cold schedule and give
+        # exactly the plain cold call's results.
+        u_bad = 10.0 * jnp.ones_like(u0)
+        u_fb, it_fb = solve_batch_packed(ocp, u_bad, x0b, cfg, k_block=8,
+                                         interpret=True, bp_entry=0.02)
+        u_fb_ref, it_fb_ref = solve_batch_packed(ocp, u_bad, x0b, cfg,
+                                                 k_block=8, interpret=True)
+
+    def raw_cost(u, xx):
+        xs = rollout(ocp.dynamics, u, xx)
+        return ocp.total_cost(xs, u, jnp.asarray(0.0, u.dtype))
+
+    c_c = np.asarray(jax.vmap(raw_cost)(u_cold, x0b))
+    c_w = np.asarray(jax.vmap(raw_cost)(u_warm, x0b))
+    rel = np.abs(c_w - c_c) / (np.abs(c_c) + 1e-9)
+    assert float(rel.max()) < 2e-5, "warm re-entry drifted off the optimum"
+    assert float(np.mean(np.asarray(it_warm))) < float(
+        np.mean(np.asarray(it_cold)))
+    np.testing.assert_array_equal(np.asarray(u_fb), np.asarray(u_fb_ref))
+    np.testing.assert_array_equal(np.asarray(it_fb), np.asarray(it_fb_ref))
+
+
+@pytest.mark.slow
 def test_nmpc_batched_resolver_sharded(monkeypatch):
     """The packed NMPC batch resolver under shard_map (controllers
     data-parallel over the mesh) == the single-device batched loop —
