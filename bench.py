@@ -19,16 +19,18 @@ denominator used for ``vs_baseline`` is the BASELINE.json north-star target
 pro-rated to one chip: 1e4 solves/s on a v5p-16 (8 chips) => 1250 solves/s
 per chip.  vs_baseline > 1 beats the per-chip north star.
 
-The default mode runs BOTH streaming executors and reports the
-quality-neutral one as the headline: the ``value`` is the timed
-SINGLE-GRID stream (one faithful cold solve per scenario — reference
-semantics; basin switching impossible by construction), while the
-faster multigrid-in-time stream (solvers/stream.py
-solve_stream_multigrid) rides along under ``"multigrid"`` together with
-its measured quality gate (basin-switch fraction and signed cost deltas
-vs the single-grid solutions; its switched lanes average +2.1% worse
-cost — docs/PERFORMANCE.md "Quality caveat").  Set IPOC_BENCH_QUALITY=0
-to skip the gate and report raw multigrid throughput.
+The default mode runs BOTH streaming executors.  The ``value`` is the
+timed MULTIGRID-in-time stream with its quality gate attached —
+PROMOTED to the headline in r5 after the statistics were settled
+(VERDICT r4 #5): on a 1.31M-scenario pool the mg solutions on
+basin-switched lanes are STRICTLY BETTER than the faithful cold solves
+(-0.455% +/- 0.046% SEM, ~9.8 SEM below zero, win-frac 0.543, switch
+1.72%, matched lanes equal to 2.2e-6 —
+bench_results/BENCH_mg_sem_r05.json), so multigrid is not a quality
+trade.  The faithful SINGLE-GRID stream (one cold solve per scenario —
+reference semantics; basin switching impossible by construction) rides
+along under ``"single_grid"``.  Set IPOC_BENCH_QUALITY=0 to skip the
+gate and report raw multigrid throughput.
 
 Env knobs: IPOC_BENCH_BATCH (default 4096 lanes), IPOC_BENCH_POOL (default
 32x lanes), IPOC_BENCH_REPS (default 5), IPOC_BENCH_HORIZON (default 100),
@@ -380,13 +382,19 @@ def run() -> dict:
         }
 
     if mode == "mg" and QUALITY:
-        # Quality-neutral headline (VERDICT r2 #2): the multigrid stream's
-        # basin-switched lanes average +2.1% worse raw cost than the
-        # faithful single-grid solutions, so the HEADLINE value is the
-        # TIMED single-grid stream (one faithful cold solve per scenario —
-        # reference semantics, par:228-254; basin switching impossible by
-        # construction), and the multigrid number rides along under
-        # "multigrid" with its measured quality gate.
+        # r5 PROMOTION (VERDICT r4 #5, decided by statistics): the bench
+        # ``value`` is now the MULTIGRID stream, gate attached.  History:
+        # r2 demoted mg from the headline because its switched lanes
+        # averaged +2.1% WORSE raw cost; r4's DDP coarse level made them
+        # neutral-to-better (-0.39% +/- 0.15% SEM); the r5 big-pool
+        # capture (1.31M scenarios, bench_results/BENCH_mg_sem_r05.json)
+        # settled it at the verdict's required precision: switched mean
+        # -0.455% +/- 0.046% SEM (~9.8 SEM BELOW zero, win-frac 0.543,
+        # switch 1.72%, matched mean 2.2e-6) — the mg solutions on
+        # switched lanes are STRICTLY BETTER in expectation, so mg is
+        # not a quality trade at all.  The faithful single-grid stream
+        # (one cold solve per scenario, reference semantics par:228-254)
+        # rides along under "single_grid" as provenance.
         mg_value = payload["value"]
         ref_step = jax.jit(lambda u, x: solve_stream(
             ocp, u, x, cfg, lanes=BATCH, refill_every=REFILL))
@@ -399,13 +407,16 @@ def run() -> dict:
             _sync(ref_sol.iterations)
             sg_times.append(time.perf_counter() - t0)
         sg_med = statistics.median(sg_times)
-        payload["value"] = round(n_scen / sg_med, 3)
-        payload["vs_baseline"] = round(
-            n_scen / sg_med / NORTH_STAR_PER_CHIP, 4)
-        payload["quality"] = {
-            "basin_switch_frac": 0.0,
-            "mean_signed_rel_cost_delta_switched": 0.0,
-            "semantics": "single-grid: one faithful cold solve/scenario",
+        payload["single_grid"] = {
+            "value": round(n_scen / sg_med, 3),
+            "vs_baseline": round(
+                n_scen / sg_med / NORTH_STAR_PER_CHIP, 4),
+            "quality": {
+                "basin_switch_frac": 0.0,
+                "mean_signed_rel_cost_delta_switched": 0.0,
+                "semantics":
+                "single-grid: one faithful cold solve/scenario",
+            },
         }
 
         def raw_cost(u, x0s):
@@ -418,9 +429,14 @@ def run() -> dict:
         rel = np.abs(c_mg - c_sg) / np.maximum(np.abs(c_sg), 1e-12)
         switched = rel > 1e-3  # different local basin, not noise
         matched = ~switched
+        payload["value"] = mg_value
+        payload["vs_baseline"] = round(mg_value / NORTH_STAR_PER_CHIP, 4)
         payload["multigrid"] = {
             "value": mg_value,
             "vs_baseline": round(mg_value / NORTH_STAR_PER_CHIP, 4),
+            "promoted_to_headline":
+            "r5: switched lanes strictly better, -0.455% +/- 0.046% SEM "
+            "(BENCH_mg_sem_r05.json)",
             "quality": {
                 "basin_switch_frac": round(float(switched.mean()), 5),
                 "mean_rel_cost_delta_matched": float(rel[matched].mean())
@@ -444,6 +460,7 @@ def run() -> dict:
                 "switched_mean_sem": float(sw.std() / np.sqrt(sw.size)),
                 "coarse_impl": mg_coarse,
             })
+        payload["quality"] = payload["multigrid"]["quality"]
     return payload
 
 
