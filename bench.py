@@ -19,18 +19,20 @@ denominator used for ``vs_baseline`` is the BASELINE.json north-star target
 pro-rated to one chip: 1e4 solves/s on a v5p-16 (8 chips) => 1250 solves/s
 per chip.  vs_baseline > 1 beats the per-chip north star.
 
-The default mode runs BOTH streaming executors.  The ``value`` is the
-timed MULTIGRID-in-time stream with its quality gate attached —
-PROMOTED to the headline in r5 after the statistics were settled
-(VERDICT r4 #5): on a 1.31M-scenario pool the mg solutions on
+The default mode runs BOTH streaming executors and reports the FASTER
+one as the ``value`` with its quality record attached.  Multigrid was
+PROMOTED to headline eligibility in r5 after the statistics were
+settled (VERDICT r4 #5): on a 1.31M-scenario pool the mg solutions on
 basin-switched lanes are STRICTLY BETTER than the faithful cold solves
 (-0.455% +/- 0.046% SEM, ~9.8 SEM below zero, win-frac 0.543, switch
 1.72%, matched lanes equal to 2.2e-6 —
 bench_results/BENCH_mg_sem_r05.json), so multigrid is not a quality
-trade.  The faithful SINGLE-GRID stream (one cold solve per scenario —
-reference semantics; basin switching impossible by construction) rides
-along under ``"single_grid"``.  Set IPOC_BENCH_QUALITY=0 to skip the
-gate and report raw multigrid throughput.
+trade; on models where the faithful SINGLE-GRID stream (one cold solve
+per scenario — reference semantics; basin switching impossible by
+construction) is simply faster (pendulum H=100), it stays the
+headline.  Both numbers always appear (``"multigrid"`` /
+``"single_grid"``).  Set IPOC_BENCH_QUALITY=0 to skip the gate and
+report raw multigrid throughput.
 
 Env knobs: IPOC_BENCH_BATCH (default 4096 lanes), IPOC_BENCH_POOL (default
 32x lanes), IPOC_BENCH_REPS (default 5), IPOC_BENCH_HORIZON (default 100),
@@ -429,8 +431,19 @@ def run() -> dict:
         rel = np.abs(c_mg - c_sg) / np.maximum(np.abs(c_sg), 1e-12)
         switched = rel > 1e-3  # different local basin, not noise
         matched = ~switched
-        payload["value"] = mg_value
-        payload["vs_baseline"] = round(mg_value / NORTH_STAR_PER_CHIP, 4)
+        sg_value = payload["single_grid"]["value"]
+        # Promotion picks the BEST mode per problem: mg where its
+        # (settled) gate buys speed; the faithful single-grid stream
+        # where it is simply faster (pendulum H=100: sg 763.6k > mg
+        # 684.3k, both exact — promoting mg unconditionally would
+        # REGRESS such models).
+        if mg_value >= sg_value:
+            payload["value"] = mg_value
+            payload["vs_baseline"] = round(
+                mg_value / NORTH_STAR_PER_CHIP, 4)
+        else:
+            payload["value"] = sg_value
+            payload["vs_baseline"] = payload["single_grid"]["vs_baseline"]
         payload["multigrid"] = {
             "value": mg_value,
             "vs_baseline": round(mg_value / NORTH_STAR_PER_CHIP, 4),
@@ -460,7 +473,10 @@ def run() -> dict:
                 "switched_mean_sem": float(sw.std() / np.sqrt(sw.size)),
                 "coarse_impl": mg_coarse,
             })
-        payload["quality"] = payload["multigrid"]["quality"]
+        if mg_value >= sg_value:
+            payload["quality"] = payload["multigrid"]["quality"]
+        else:
+            payload["quality"] = payload["single_grid"]["quality"]
     return payload
 
 
