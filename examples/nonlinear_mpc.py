@@ -56,7 +56,6 @@ def main():
         # the replan step runs through the packed mega-kernel batch
         # resolver (ONE resident launch per k-block; 2048 cartpole H=100
         # controllers replan in 7.4 ms, docs/PERFORMANCE.md r4).
-        from ipoc_tpu.mpc import nmpc_loop_batched
         from ipoc_tpu.solvers.packed_stream import (
             batch_packed_eligible,
             solve_batch_packed,
@@ -69,13 +68,28 @@ def main():
         u0b = jnp.zeros((args.batch, args.horizon, 1), jnp.float32)
         if batch_packed_eligible(cfg, jnp.float32, x0.shape[-1],
                                  1, args.horizon, args.batch):
-            def solve_b(u_warm, x):
-                u, _ = solve_batch_packed(ocp, u_warm, x, cfg)
+            # r5 warm barrier re-entry: first resolve on the full cold
+            # schedule to convergence, later resolves re-enter at
+            # bp=0.02 from the controller's own previous plan (4096
+            # cartpole H=100 controllers replan in 8.7 ms <= the 10 ms
+            # budget; docs/PERFORMANCE.md round-5 NMPC section).
+            from ipoc_tpu.mpc import nmpc_loop_batched_warm
+
+            wcfg = ipoc_tpu.BATCH_CONFIG.replace(max_newton_iters=12)
+
+            def solve_full(u_warm, x):
+                u, _ = solve_batch_packed(ocp, u_warm, x,
+                                          ipoc_tpu.BATCH_CONFIG, k_block=8)
+                return u
+
+            def solve_warm(u_warm, x):
+                u, _ = solve_batch_packed(ocp, u_warm, x, wcfg, k_block=8,
+                                          bp_entry=0.02)
                 return u
 
             loop = jax.jit(
-                lambda x, u: nmpc_loop_batched(
-                    solve_b, ocp.dynamics, x, u, args.steps)
+                lambda x, u: nmpc_loop_batched_warm(
+                    solve_full, solve_warm, ocp.dynamics, x, u, args.steps)
             )
             batched_layout = True
         else:
