@@ -447,9 +447,12 @@ def run() -> dict:
         payload["multigrid"] = {
             "value": mg_value,
             "vs_baseline": round(mg_value / NORTH_STAR_PER_CHIP, 4),
-            "promoted_to_headline":
-            "r5: switched lanes strictly better, -0.455% +/- 0.046% SEM "
-            "(BENCH_mg_sem_r05.json)",
+            "headline": bool(mg_value >= sg_value),
+            "promotion_policy":
+            "r5 best-of-mode: mg is headline-ELIGIBLE (cartpole "
+            "switched-lane stats settled strictly better, -0.455% +/- "
+            "0.046% SEM, BENCH_mg_sem_r05.json); the faster mode per "
+            "run is reported as value",
             "quality": {
                 "basin_switch_frac": round(float(switched.mean()), 5),
                 "mean_rel_cost_delta_matched": float(rel[matched].mean())

@@ -116,6 +116,11 @@ def nmpc_loop_batched_warm(solve_cold: Callable, solve_warm: Callable,
     resolver).  Same return layout as :func:`nmpc_loop_batched`:
     ``(states (n_steps,B,nx), controls (n_steps,B,nu))``.
     """
+    if n_steps < 1:
+        raise ValueError(
+            "nmpc_loop_batched_warm needs n_steps >= 1 (the first step "
+            "is the cold resolve)"
+        )
     vplant = jax.vmap(plant)
     u_plans0 = solve_cold(u_init, x0s)
     u0 = u_plans0[:, 0]

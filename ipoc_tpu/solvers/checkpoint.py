@@ -57,6 +57,17 @@ class CheckpointedBatchRunner:
         ident = {"chunk_size": self.chunk_size, "n": n,
                  "horizon": horizon, "nu": nu, **semantics}
         recorded = m.get("identity")
+        if recorded is not None and set(recorded) < set(ident):
+            # Manifest written before the identity grew the semantics
+            # keys (cfg digest/method/dtype): compare on the recorded
+            # keys only and back-fill the new ones, so pre-existing
+            # checkpoint directories stay resumable.
+            if {k: ident[k] for k in recorded} == recorded:
+                recorded = m["identity"] = ident
+                tmp = self._manifest_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(m, f)
+                os.replace(tmp, self._manifest_path)
         if recorded is None:
             m["identity"] = ident
             tmp = self._manifest_path + ".tmp"
@@ -123,7 +134,7 @@ class CheckpointedBatchRunner:
         semantics = {
             "cfg_digest": hashlib.sha256(repr(cfg).encode()).hexdigest()[:16],
             "method": "<custom solve_fn>" if custom else method,
-            "dtype": str(jnp.asarray(controls).dtype),
+            "dtype": str(jnp.result_type(controls)),
         }
         done = set(
             self._check_identity(n, horizon, nu, semantics)["chunks_done"])

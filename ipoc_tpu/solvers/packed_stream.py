@@ -461,7 +461,9 @@ def solve_stream_packed(
     # while the streamed kernel's improves.  So the fused path runs
     # two-launch for resident-cap < T < IPOC_MEGA_STREAM_MIN_T
     # (default 600) and streamed mega past it; IPOC_MEGA_STREAM_FORCE=1
-    # forces streamed everywhere (experiments).  DDP keeps streamed
+    # overrides the MID-RANGE choice only (resident-fitting shapes still
+    # run the resident kernel — the experiment scripts monkeypatch
+    # mega_fits to force streamed below the cap).  DDP keeps streamed
     # mega at ANY long T: it has NO packed two-launch alternative there
     # (the merged kernel's gains ring stops fitting VMEM), so streamed
     # mega is the only packed path at all.
@@ -497,6 +499,12 @@ def solve_stream_packed(
     Bp = _ceil_to(B, chunk)
     C = Bp // chunk
 
+    if warm_transfer and (bp_init is not None or rp_init is not None):
+        raise ValueError(
+            "warm_transfer overrides the refill barrier/damping for "
+            "feasible transferred lanes, silently defeating per-scenario "
+            "bp_init/rp_init — use one or the other"
+        )
     if bp_init is None:
         bp_init = jnp.full((N,), cfg.bp_init, dtype)
     if rp_init is None:

@@ -16,7 +16,6 @@ bottleneck" claim.
 Usage: python scripts/issue_cost_probe.py
 """
 
-import sys
 import time
 
 import jax
@@ -25,8 +24,6 @@ import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-sys.path.insert(0, ".")
 
 UNROLL = 64
 
@@ -51,17 +48,13 @@ def make_kernel(S, K, chains):
         o_ref[0] = acc
 
     return pl.pallas_call(
-        make_partial(kern),
+        kern,
         in_specs=[pl.BlockSpec((1, S, 128), lambda: (0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, S, 128), lambda: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, S, 128), jnp.float32),
     )
-
-
-def make_partial(k):
-    return k
 
 
 def sync(x):
