@@ -154,6 +154,69 @@ def test_mega_streamed_mini_parity(monkeypatch):
 
 
 @pytest.mark.slow
+def test_mega_streamed_multi_input(monkeypatch):
+    """Streamed mega kernel at nu=2 (planar quadrotor, nx=6): the
+    window machinery, gains-ring parking (ng=(1+nx)*nu rows) and the
+    lazy merge are all shape-generic — pinned == packed_lane_iter on
+    the first multi-input model (the nu>1 gain-RHS layout bug class of
+    r3 motivates keeping an explicit multi-input pin per kernel
+    family)."""
+    from ipoc_tpu.models import quadrotor
+    from ipoc_tpu.ops.pallas import mega_kernel as mk
+    from ipoc_tpu.ops.pallas.fused_iter_kernel import _pack_vec
+    from ipoc_tpu.ops.pallas.seq_newton_kernel import LANES, _ceil_to, _pack_s
+    from ipoc_tpu.solvers.packed_stream import _pack_scal, packed_lane_init
+
+    monkeypatch.setenv("IPOC_STREAM_WINDOW", "4")
+    monkeypatch.setenv("IPOC_TIME_BLOCK", "2")
+    monkeypatch.setattr(mk, "mega_fits", lambda *a, **k: False)
+    Ts = 8
+    cfg = ipoc_tpu.BATCH_CONFIG
+    ocp = quadrotor.make_ocp(1.0 / Ts)
+    x0 = quadrotor.initial_state(jnp.float32)
+    u0, x0b = make_batch(jax.random.PRNGKey(3), x0, B, Ts, 2,
+                         state_scale=0.02, control_scale=0.05,
+                         dtype=jnp.float32)
+    u0 = u0 + quadrotor.hover_controls(Ts, jnp.float32)[None]
+    set_pallas_scans("on")
+    with pltpu.force_tpu_interpret_mode():
+        Bp = _ceil_to(B, S * LANES)
+        C = Bp // (S * LANES)
+        u_p = _pack_s(u0, Bp, S)
+        x0_p = _pack_vec(x0b, Bp, S)
+        bp0 = _pack_scal(jnp.full((B,), cfg.bp_init, jnp.float32),
+                         Bp, C, S, LANES)
+        rp0 = _pack_scal(jnp.full((B,), cfg.reg_init, jnp.float32),
+                         Bp, C, S, LANES)
+        lane0 = packed_lane_init(ocp, u_p, x0_p, bp0, rp0, cfg,
+                                 interpret=True)
+        active = jnp.ones_like(lane0.done)
+        ref = lane0
+        for _ in range(2):
+            ref = packed_lane_iter(
+                ocp, ref, cfg,
+                jnp.logical_and(active, jnp.logical_not(ref.done)),
+                interpret=True)
+        out = mk.mega_k_iterations(
+            ocp, lane0.xs, lane0.xT, lane0.u, lane0.u_prev, lane0.cun,
+            lane0.it, lane0.stage_it, lane0.rp, lane0.r_inc, lane0.bp,
+            lane0.bp0, lane0.done, lane0.x0, active, cfg, 2,
+            interpret=True)
+    (xs, xT, u, up, cun, it, sit, rp, ri, bp, done, steps) = out
+    assert int(steps) == 2
+    np.testing.assert_allclose(np.asarray(_unpack_s(u, B, (2,))),
+                               np.asarray(_unpack_s(ref.u, B, (2,))),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(_unpack_s(xs, B, (6,))),
+                               np.asarray(_unpack_s(ref.xs, B, (6,))),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(_unpack_scal(it, B)),
+                                  np.asarray(_unpack_scal(ref.it, B)))
+    np.testing.assert_array_equal(np.asarray(_unpack_scal(done, B)),
+                                  np.asarray(_unpack_scal(ref.done, B)))
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("impl", ["fused", "ddp"])
 def test_mega_streamed_matches_packed_iters(monkeypatch, impl):
     """STREAMED mega kernel (time windows double-buffered through VMEM,
